@@ -1,0 +1,150 @@
+"""BED / bedgraph readers with the reference's validation semantics, plus a
+fast NumPy bedgraph-pair loader for the boringbits depth path.
+
+The reference's get_depths streams two 1-bp-resolution bedgraphs in lockstep
+into per-contig uint16 arrays (reference: src/boringbits_main.c:180-301); here
+the parse is vectorised with NumPy so a whole-genome load is IO-bound instead
+of fscanf-bound.
+"""
+
+import sys
+from typing import Iterator, List, Tuple
+
+import numpy as np
+
+from cornetto_tpu.utils import logging as log
+
+
+def read_bed3(path: str, context: str = "bed") -> Iterator[Tuple[str, int, int]]:
+    """Stream (chrom, start, end) validating like the reference BED readers
+    (reference: src/bigenough_main.c:106-143): 3+ columns, non-negative,
+    start < end; malformed input is a fatal error."""
+    with open(path) as fp:
+        for line_no, line in enumerate(fp):
+            fields = line.split()
+            if len(fields) < 3:
+                log.error("Malformed bed entry at line %d" % line_no)
+                sys.exit(1)
+            ref = fields[0]
+            try:
+                beg = int(fields[1])
+                end = int(fields[2])
+            except ValueError:
+                log.error("Malformed bed entry at line %d" % line_no)
+                sys.exit(1)
+            if beg < 0 or end < 0:
+                log.error("Malformed bed entry at %s:%d. Coordinates cannot "
+                          "be negative" % (path, line_no))
+                sys.exit(1)
+            if beg >= end:
+                log.error("Malformed bed entry at %s:%d. start must be "
+                          "smaller than end coordinate" % (path, line_no))
+                sys.exit(1)
+            yield ref, beg, end
+
+
+def write_bed3(out, rows) -> None:
+    for ref, beg, end in rows:
+        out.write("%s\t%d\t%d\n" % (ref, beg, end))
+
+
+class DepthArrays:
+    """Per-contig uint16 depth arrays for a (total, mq) bedgraph pair."""
+
+    def __init__(self):
+        self.names: List[str] = []
+        self.depth: List[np.ndarray] = []     # uint16 per contig
+        self.mq_depth: List[np.ndarray] = []  # uint16 per contig
+        self.mean_depth: int = 0              # round() of global mean
+        self.mean_mq_depth: int = 0
+
+
+def _parse_bedgraph_numpy(path: str):
+    """Vectorised parse of a 4-column 1-bp bedgraph.
+
+    Returns (names_in_order, per-contig start arrays, per-contig depth arrays)
+    with the reference's validation: 4 columns, end=start+1, per-contig
+    positions incremental from the first row of the contig
+    (reference: src/boringbits_main.c:204-287).
+    """
+    with open(path, "rb") as fp:
+        data = fp.read()
+    if not data:
+        return [], [], []
+    # Column split without Python-level row loop: find tabs/newlines.
+    import io as _io
+    import pandas as pd
+    df = pd.read_csv(_io.BytesIO(data), sep="\t", header=None,
+                     names=["c", "s", "e", "d"],
+                     dtype={"c": "object", "s": np.int64,
+                            "e": np.int64, "d": np.int64})
+    chroms = df["c"].to_numpy()
+    starts = df["s"].to_numpy()
+    ends = df["e"].to_numpy()
+    depths = df["d"].to_numpy()
+    if not np.all(starts + 1 == ends):
+        bad = int(np.argmin(starts + 1 == ends))
+        log.error("The depth files should have end=start+1. Found %d to %d"
+                  % (starts[bad], ends[bad]))
+        sys.exit(1)
+    # contig boundaries: rows where chrom changes
+    change = np.empty(len(chroms), dtype=bool)
+    change[0] = True
+    change[1:] = chroms[1:] != chroms[:-1]
+    bounds = np.flatnonzero(change)
+    names = [str(chroms[i]) for i in bounds]
+    seg_starts = []
+    seg_depths = []
+    bounds_ext = np.append(bounds, len(chroms))
+    for k in range(len(bounds)):
+        a, b = bounds_ext[k], bounds_ext[k + 1]
+        st = starts[a:b]
+        if b - a > 1 and not np.all(np.diff(st) == 1):
+            bad = int(np.argmin(np.diff(st) == 1))
+            log.error("The depth files should be incremantal at one base "
+                      "resolution. Found %d to %d"
+                      % (st[bad], st[bad + 1]))
+            sys.exit(1)
+        seg_starts.append(st)
+        seg_depths.append(depths[a:b])
+    return names, seg_starts, seg_depths
+
+
+def read_bedgraph_pair(cov_total_path: str, cov_mq_path: str) -> DepthArrays:
+    """Load the two bedgraphs with the reference's lockstep validation and
+    uint16 truncation (reference: src/boringbits_main.c:261-268 clamps depth
+    at 65535 with a warning; :293-294 rounds the global means)."""
+    n1, s1, d1 = _parse_bedgraph_numpy(cov_total_path)
+    n2, s2, d2 = _parse_bedgraph_numpy(cov_mq_path)
+    if n1 != n2 or len(s1) != len(s2):
+        log.error("The two files are not in the same order")
+        sys.exit(1)
+    out = DepthArrays()
+    tot_len = 0
+    tot_depth = 0
+    tot_mq = 0
+    for name, sa, da, sb, db in zip(n1, s1, d1, s2, d2):
+        if len(sa) != len(sb) or sa[0] != sb[0]:
+            log.error("The two files are not in the same order")
+            sys.exit(1)
+        for arr, st in ((da, sa), (db, sb)):
+            over = arr > 65535
+            if np.any(over):
+                for i in np.flatnonzero(over):
+                    log.warning("The depth at %s:%d-%d was truncated to "
+                                "65535. Found %d"
+                                % (name, st[i], st[i] + 1, arr[i]))
+        # clamp BEFORE accumulating, as the reference does
+        # (src/boringbits_main.c:261-285)
+        tot_depth += int(np.minimum(da, 65535).sum())
+        tot_mq += int(np.minimum(db, 65535).sum())
+        tot_len += len(da)
+        out.names.append(name)
+        out.depth.append(np.minimum(da, 65535).astype(np.uint16))
+        out.mq_depth.append(np.minimum(db, 65535).astype(np.uint16))
+    if tot_len:
+        # C accumulates in double then round()s (half away from zero)
+        from cornetto_tpu.utils.cformat import c_round
+        out.mean_depth = c_round(float(tot_depth) / float(tot_len))
+        out.mean_mq_depth = c_round(float(tot_mq) / float(tot_len))
+    return out

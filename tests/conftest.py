@@ -1,0 +1,37 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware (SURVEY.md §4: multi-host simulation layer).
+os.environ["JAX_PLATFORMS"] = "cpu"
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pathlib
+
+import pytest
+
+ROOT = pathlib.Path(__file__).resolve().parent.parent
+DATA = ROOT / "test_data"
+SYNTH = DATA / "synth"
+GOLD = DATA / "golden"
+
+
+@pytest.fixture(scope="session")
+def synth():
+    assert (SYNTH / "cov-total.bg").exists(), \
+        "run: python3 test_data/gen_synth.py"
+    return SYNTH
+
+
+@pytest.fixture(scope="session")
+def gold():
+    assert (GOLD / "boring_t1.txt").exists(), \
+        "run: bash test_data/gen_goldens.sh"
+    return GOLD
+
+
+@pytest.fixture(scope="session")
+def bigenough_fixtures():
+    return DATA / "bigenough"
