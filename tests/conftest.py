@@ -8,6 +8,11 @@ if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon TPU plugin ignores JAX_PLATFORMS; jax.config is authoritative.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import pathlib
 
 import pytest
