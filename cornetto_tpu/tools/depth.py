@@ -1,0 +1,59 @@
+"""depth: per-base BAM depth.
+
+The reference's depth subcommand is a dead skeleton (its htslib processing
+loop is commented out — reference: src/depth_main.c:162-194); this is a
+working implementation producing either `samtools depth -aa`-style 3-column
+rows (1-based positions) or the protocol's awk-converted 1-bp bedgraph
+(reference: shitflow/create-launch.pbs.sh:66-67).
+"""
+
+import sys
+
+from cornetto_tpu.io.bam import BamFile, depth_arrays
+
+
+def run(bam_path: str, min_mapq: int = 0, bedgraph: bool = False,
+        include_dels: bool = False, out=None) -> None:
+    out = out or sys.stdout
+    bam = BamFile(bam_path)
+    depths = depth_arrays(bam, min_mapq=min_mapq, include_dels=include_dels)
+    for name, d in zip(bam.ref_names, depths):
+        if bedgraph:
+            out.write("".join("%s\t%d\t%d\t%d\n" % (name, i, i + 1, v)
+                              for i, v in enumerate(d)))
+        else:
+            out.write("".join("%s\t%d\t%d\n" % (name, i + 1, v)
+                              for i, v in enumerate(d)))
+
+
+def main(argv) -> int:
+    import getopt as _getopt
+    from cornetto_tpu.utils.parsing import c_atoi
+    min_mapq = 0
+    bedgraph = False
+    include_dels = False
+    fp_help = sys.stderr
+    try:
+        opts, args = _getopt.gnu_getopt(
+            argv, "Q:gJh", ["min-MQ=", "bedgraph", "include-dels", "help"])
+    except _getopt.GetoptError:
+        return 1
+    for flag, val in opts:
+        if flag in ("-Q", "--min-MQ"):
+            min_mapq = c_atoi(val)
+        elif flag in ("-g", "--bedgraph"):
+            bedgraph = True
+        elif flag in ("-J", "--include-dels"):
+            include_dels = True
+        elif flag in ("-h", "--help"):
+            fp_help = sys.stdout
+    if len(args) != 1 or fp_help is sys.stdout:
+        fp_help.write("Usage: cornetto depth [-Q minMQ] [-g] [-J] <in.bam>\n")
+        fp_help.write("   -Q INT     minimum mapping quality [0]\n")
+        fp_help.write("   -g         output 1-bp bedgraph rows instead of samtools-depth rows\n")
+        fp_help.write("   -J         count deleted (D) reference positions as covered\n")
+        fp_help.write("   -h         help\n")
+        return 0 if fp_help is sys.stdout else 1
+    run(args[0], min_mapq=min_mapq, bedgraph=bedgraph,
+        include_dels=include_dels)
+    return 0
