@@ -119,6 +119,32 @@ def _print_boring(out, name, ctg_len, st, end, d, mq, thresh_low, thresh_high,
                           for j in idx))
 
 
+def iter_fun_windows(cov_total_path: str, cov_mq_path: str,
+                     opt: BoringbitsOptions):
+    """Yield (name, st, end) for threshold-violating windows of contigs
+    >= min_ctg_len — i.e. the noboringbits rows whose 4th column is numeric,
+    as selected by the create-cornetto pipeline's awk filter
+    (reference: scripts/create-cornetto.sh:41)."""
+    depths = read_bedgraph_pair(cov_total_path, cov_mq_path)
+    stats_fn = (window_sum.window_stats_jax if opt.backend == "jax"
+                else window_sum.window_stats_numpy)
+    thresh_low = c_round(float(np.float32(opt.low_cov_thresh)
+                               * np.float32(depths.mean_depth)))
+    thresh_high = c_round(float(np.float32(opt.high_cov_thresh)
+                                * np.float32(depths.mean_depth)))
+    for name, depth, mq_depth in zip(depths.names, depths.depth,
+                                     depths.mq_depth):
+        if len(depth) < opt.min_ctg_len:
+            continue
+        st, end, d, mq = stats_fn(depth.astype(np.int32),
+                                  mq_depth.astype(np.int32),
+                                  opt.window_size, opt.window_inc)
+        viol = _violations(st, end, d, mq, thresh_low, thresh_high,
+                           opt.low_mq_cov_thresh)
+        for j in np.flatnonzero(viol):
+            yield (name, int(st[j]), int(end[j]))
+
+
 def main(argv, boring: bool) -> int:
     """CLI entry matching `cornetto boringbits|noboringbits`
     (reference: src/boringbits_main.c:558-660)."""
