@@ -1,0 +1,102 @@
+"""livefish decision-engine tests on the virtual 8-device CPU mesh:
+single-chip vs sharded parity, and decision correctness against ground
+truth read origins."""
+
+import numpy as np
+import pytest
+
+from cornetto_tpu.kernels.minimizer import encode_seq, minimizers_np
+from cornetto_tpu.livefish.decide import (DecisionParams, SingleChipEngine,
+                                          make_sharded_engine)
+from cornetto_tpu.livefish.index import build_index, build_panel_mask
+
+BASES = np.array(list("ACGT"))
+
+
+@pytest.fixture(scope="module")
+def genome():
+    rng = np.random.default_rng(99)
+    return {
+        "ctgA": "".join(BASES[rng.integers(0, 4, 60000)]),
+        "ctgB": "".join(BASES[rng.integers(0, 4, 40000)]),
+    }
+
+
+@pytest.fixture(scope="module")
+def panel_rows():
+    # boring (reject) panel: middle of ctgA
+    return [("ctgA", 20000, 40000)]
+
+
+def _sample_reads(genome, rng, n, L, contig, lo, hi):
+    seq = genome[contig]
+    reads = np.zeros((n, L), dtype=np.uint8)
+    starts = []
+    for i in range(n):
+        s = int(rng.integers(lo, hi - L))
+        reads[i] = encode_seq(seq[s:s + L])
+        starts.append(s)
+    return reads, starts
+
+
+def test_minimizer_np_jax_parity(genome):
+    import jax.numpy as jnp
+    from cornetto_tpu.kernels.minimizer import read_minimizers_jax
+    seq = genome["ctgA"][:1024]
+    codes = encode_seq(seq)
+    pos_np, h_np = minimizers_np(codes, k=15, w=10)
+    pos_j, h_j, v_j = read_minimizers_jax(jnp.asarray(codes[None, :]),
+                                          k=15, w=10)
+    pos_j = np.asarray(pos_j[0])[np.asarray(v_j[0])]
+    h_j = np.asarray(h_j[0])[np.asarray(v_j[0])]
+    np.testing.assert_array_equal(pos_np, pos_j)
+    np.testing.assert_array_equal(h_np, h_j)
+
+
+def test_decisions_ground_truth(genome, panel_rows):
+    rng = np.random.default_rng(5)
+    idx = build_index(genome, n_shards=1)
+    panel = build_panel_mask(idx, panel_rows)
+    eng = SingleChipEngine(idx, panel)
+    L = 400
+    boring_reads, _ = _sample_reads(genome, rng, 16, L, "ctgA", 21000, 38000)
+    fun_reads, _ = _sample_reads(genome, rng, 16, L, "ctgA", 42000, 59000)
+    other_reads, _ = _sample_reads(genome, rng, 16, L, "ctgB", 0, 39000)
+    random_reads = rng.integers(0, 4, size=(16, L)).astype(np.uint8)
+    d_boring, best, est, nh = eng.decide(boring_reads)
+    d_fun, _, _, _ = eng.decide(fun_reads)
+    d_other, bo, _, _ = eng.decide(other_reads)
+    d_rand, _, _, nh_rand = eng.decide(random_reads)
+    assert np.all(np.asarray(d_boring) == 0)      # reject boring-region reads
+    assert np.all(np.asarray(d_fun) == 1)         # keep fun-region reads
+    assert np.all(np.asarray(d_other) == 1)       # ctgB not in panel
+    assert np.all(np.asarray(bo) == 1)
+    assert np.all(np.asarray(d_rand) == 1)        # unmapped -> keep
+    assert np.all(np.asarray(nh_rand) < 3)
+
+
+@pytest.mark.parametrize("dp,ep", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_sharded_matches_single(genome, panel_rows, dp, ep):
+    import jax
+    from jax.sharding import Mesh
+    rng = np.random.default_rng(6)
+    devices = np.array(jax.devices()[:dp * ep]).reshape(dp, ep)
+    mesh = Mesh(devices, ("dp", "ep"))
+    idx1 = build_index(genome, n_shards=1)
+    idxE = build_index(genome, n_shards=ep)
+    panel = build_panel_mask(idx1, panel_rows)
+    eng1 = SingleChipEngine(idx1, panel)
+    engE = make_sharded_engine(mesh, idxE, panel)
+    L = 400
+    reads = np.concatenate([
+        _sample_reads(genome, rng, 8, L, "ctgA", 21000, 38000)[0],
+        _sample_reads(genome, rng, 8, L, "ctgA", 42000, 59000)[0],
+        _sample_reads(genome, rng, 8, L, "ctgB", 0, 39000)[0],
+        rng.integers(0, 4, size=(8, L)).astype(np.uint8),
+    ])
+    d1, b1, e1, n1 = eng1.decide(reads)
+    dE, bE, eE, nE = engE(reads)
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(dE))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(nE))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(bE))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(eE))
