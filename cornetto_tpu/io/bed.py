@@ -59,19 +59,59 @@ class DepthArrays:
         self.mean_mq_depth: int = 0
 
 
-def _parse_bedgraph_numpy(path: str):
-    """Vectorised parse of a 4-column 1-bp bedgraph.
+def _parse_bedgraph_native(path: str):
+    """C-kernel parse over an mmap'd file (zero-copy, multi-threaded):
+    returns (names, starts, ends, depths, contig row bounds) or None if the
+    native library is unavailable."""
+    import ctypes
+    import mmap
+    import os as _os
+    from cornetto_tpu import native
+    lib = native.load("bedgraph_native", "bedgraph_native.c")
+    if lib is None:
+        return None
+    lib.bg_parse.restype = ctypes.c_int64
+    size = _os.path.getsize(path)
+    if size == 0:
+        return [], np.empty(0, np.int64), np.empty(0, np.int64), \
+            np.empty(0, np.int64), np.empty(1, np.int64)
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    view = np.frombuffer(mm, dtype=np.uint8)
+    n_lines = int(np.count_nonzero(view == 10))
+    if size and mm[size - 1:size] != b"\n":
+        n_lines += 1
+    if n_lines == 0:
+        return [], np.empty(0, np.int64), np.empty(0, np.int64), \
+            np.empty(0, np.int64), np.empty(1, np.int64)
+    starts = np.empty(n_lines, dtype=np.int64)
+    ends = np.empty(n_lines, dtype=np.int64)
+    depths = np.empty(n_lines, dtype=np.int64)
+    ctg_row = np.empty(n_lines, dtype=np.int64)
+    ctg_off = np.empty(n_lines, dtype=np.int64)
+    ctg_len = np.empty(n_lines, dtype=np.int64)
+    n_ctg = ctypes.c_int64(0)
+    p = ctypes.POINTER(ctypes.c_int64)
+    nthreads = min(_os.cpu_count() or 1, 16)
+    rows = lib.bg_parse(
+        ctypes.c_void_p(view.ctypes.data), ctypes.c_int64(size),
+        ctypes.c_int(nthreads),
+        starts.ctypes.data_as(p), ends.ctypes.data_as(p),
+        depths.ctypes.data_as(p), ctg_row.ctypes.data_as(p),
+        ctg_off.ctypes.data_as(p), ctg_len.ctypes.data_as(p),
+        ctypes.byref(n_ctg))
+    if rows < 0:
+        log.error("The depth files should have 4 columns. Had fewer at row "
+                  "%d." % (-rows - 1))
+        sys.exit(1)
+    nc = n_ctg.value
+    names = [bytes(mm[int(ctg_off[k]):int(ctg_off[k] + ctg_len[k])]).decode()
+             for k in range(nc)]
+    bounds = np.append(ctg_row[:nc], rows)
+    return names, starts[:rows], ends[:rows], depths[:rows], bounds
 
-    Returns (names_in_order, per-contig start arrays, per-contig depth arrays)
-    with the reference's validation: 4 columns, end=start+1, per-contig
-    positions incremental from the first row of the contig
-    (reference: src/boringbits_main.c:204-287).
-    """
-    with open(path, "rb") as fp:
-        data = fp.read()
-    if not data:
-        return [], [], []
-    # Column split without Python-level row loop: find tabs/newlines.
+
+def _parse_bedgraph_pandas(data: bytes):
     import io as _io
     import pandas as pd
     df = pd.read_csv(_io.BytesIO(data), sep="\t", header=None,
@@ -82,22 +122,42 @@ def _parse_bedgraph_numpy(path: str):
     starts = df["s"].to_numpy()
     ends = df["e"].to_numpy()
     depths = df["d"].to_numpy()
+    change = np.empty(len(chroms), dtype=bool)
+    if len(chroms):
+        change[0] = True
+        change[1:] = chroms[1:] != chroms[:-1]
+    rows = np.flatnonzero(change)
+    names = [str(chroms[i]) for i in rows]
+    bounds = np.append(rows, len(chroms))
+    return names, starts, ends, depths, bounds
+
+
+def _parse_bedgraph_numpy(path: str):
+    """Parse a 4-column 1-bp bedgraph (native C kernel when available,
+    pandas otherwise).
+
+    Returns (names_in_order, per-contig start arrays, per-contig depth
+    arrays) with the reference's validation: 4 columns, end=start+1,
+    per-contig positions incremental from the first row of the contig
+    (reference: src/boringbits_main.c:204-287).
+    """
+    parsed = _parse_bedgraph_native(path)
+    if parsed is None:
+        with open(path, "rb") as fp:
+            data = fp.read()
+        if not data:
+            return [], [], []
+        parsed = _parse_bedgraph_pandas(data)
+    names, starts, ends, depths, bounds = parsed
     if not np.all(starts + 1 == ends):
         bad = int(np.argmin(starts + 1 == ends))
         log.error("The depth files should have end=start+1. Found %d to %d"
                   % (starts[bad], ends[bad]))
         sys.exit(1)
-    # contig boundaries: rows where chrom changes
-    change = np.empty(len(chroms), dtype=bool)
-    change[0] = True
-    change[1:] = chroms[1:] != chroms[:-1]
-    bounds = np.flatnonzero(change)
-    names = [str(chroms[i]) for i in bounds]
     seg_starts = []
     seg_depths = []
-    bounds_ext = np.append(bounds, len(chroms))
-    for k in range(len(bounds)):
-        a, b = bounds_ext[k], bounds_ext[k + 1]
+    for k in range(len(names)):
+        a, b = bounds[k], bounds[k + 1]
         st = starts[a:b]
         if b - a > 1 and not np.all(np.diff(st) == 1):
             bad = int(np.argmin(np.diff(st) == 1))

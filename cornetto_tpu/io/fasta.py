@@ -30,9 +30,36 @@ class FastxRecord:
 
 def read_fastx(path: str) -> Iterator[FastxRecord]:
     """Stream records from a FASTA or FASTQ file (auto-detected per record
-    by its '>' / '@' header, like kseq)."""
+    by its '>' / '@' header, like kseq).  Plain FASTA takes a whole-file
+    split fast path; FASTQ streams line-by-line."""
     with open_maybe_gzip(path) as fp:
-        yield from parse_fastx(fp)
+        first = fp.read(1)
+        if not first:
+            return
+        if first == ">":
+            yield from _parse_fasta_fast(fp)
+        else:
+            import itertools
+            import io as _io
+            yield from parse_fastx(itertools.chain([first + fp.readline()],
+                                                   fp))
+
+
+def _parse_fasta_fast(fp) -> Iterator[FastxRecord]:
+    """Whole-file FASTA parse: the leading '>' has been consumed."""
+    data = fp.read()
+    for chunk in data.split("\n>"):
+        nl = chunk.find("\n")
+        if nl < 0:
+            header, body = chunk, ""
+        else:
+            header, body = chunk[:nl], chunk[nl + 1:]
+        header = header.rstrip("\r")
+        name, comment = _split_ws(header)
+        seq = body.replace("\n", "")
+        if "\r" in seq:
+            seq = seq.replace("\r", "")
+        yield FastxRecord(name, comment, seq, None)
 
 
 def parse_fastx(fp) -> Iterator[FastxRecord]:

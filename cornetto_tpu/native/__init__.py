@@ -1,0 +1,42 @@
+"""Native (C) host kernels, built lazily with the system compiler and loaded
+via ctypes — no pip packages required.  Every native kernel has a pure-Python
+twin used as the correctness oracle and fallback."""
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIBS = {}
+
+
+def _build(name: str, source: str) -> str:
+    so_path = os.path.join(_HERE, "_%s.so" % name)
+    src_path = os.path.join(_HERE, source)
+    if (os.path.exists(so_path)
+            and os.path.getmtime(so_path) >= os.path.getmtime(src_path)):
+        return so_path
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O3", "-shared", "-fPIC", "-pthread", src_path,
+           "-o", so_path]
+    subprocess.run(cmd, check=True, capture_output=True)
+    return so_path
+
+
+def load(name: str, source: str):
+    """Build (if stale) and dlopen a native kernel; returns None when no
+    compiler is available (callers fall back to Python)."""
+    with _LOCK:
+        if name in _LIBS:
+            return _LIBS[name]
+        try:
+            lib = ctypes.CDLL(_build(name, source))
+        except Exception as e:  # no toolchain / build failure
+            sys.stderr.write("[native] %s unavailable (%s); using Python "
+                             "fallback\n" % (name, e.__class__.__name__))
+            lib = None
+        _LIBS[name] = lib
+        return lib

@@ -3,7 +3,7 @@
 import sys
 
 from cornetto_tpu.io.fasta import read_fastx
-from cornetto_tpu.kernels.sdust_core import sdust
+from cornetto_tpu.native.sdust import sdust
 
 
 def run(fasta_path: str, T: int = 20, W: int = 64, out=None) -> None:

@@ -8,25 +8,43 @@ equivalent on its outputs).
 
 import sys
 
-import numpy as np
-
 from cornetto_tpu.io.fasta import read_fastx
-from cornetto_tpu.kernels.motif import (match_positions, revcomp_motif,
-                                        tandem_runs)
+from cornetto_tpu.kernels.motif import revcomp_motif
+
+
+def scan_runs(seq: bytes, motif: bytes):
+    """Left-to-right scan-cursor over bytes.find (memchr-fast, the same
+    access pattern as the reference's strstr loop): yields maximal exact
+    tandem runs (start, end, matched_len)."""
+    k = len(motif)
+    pos = 0
+    n = len(seq)
+    while True:
+        pos = seq.find(motif, pos)
+        if pos < 0:
+            return
+        start = pos
+        length = 0
+        while seq[pos:pos + k] == motif:
+            pos += k
+            length += k
+        yield (start, pos, length)
+        pos += 1
 
 
 def run(fasta_path: str, motif: str = "TTAGGG", out=None) -> None:
     out = out or sys.stdout
     rmotif = revcomp_motif(motif)
-    k = len(motif)
     for rec in read_fastx(fasta_path):
         # disambiguate: uppercase (reference :76-81)
-        seq = np.frombuffer(rec.seq.upper().encode("latin-1"), dtype=np.uint8)
+        seq = rec.seq.upper().encode("latin-1")
         L = len(seq)
         for strand, m in ((0, motif), (1, rmotif)):
-            for st, end, ln in tandem_runs(match_positions(seq, m), k):
-                out.write("%s\t%d\t%d\t%d\t%d\t%d\n"
-                          % (rec.name, L, strand, st, end, ln))
+            mb = m.encode("latin-1")
+            rows = ["%s\t%d\t%d\t%d\t%d\t%d\n"
+                    % (rec.name, L, strand, st, end, ln)
+                    for st, end, ln in scan_runs(seq, mb)]
+            out.write("".join(rows))
 
 
 def main(argv) -> int:
