@@ -1,0 +1,71 @@
+"""Durable state for the streaming decision loop.
+
+The reference protocol's restart points are files between pipeline stages
+(SURVEY.md §5.4); the livefish equivalent persists the sharded minimizer
+index, the panel mask and running tallies between streaming batches using
+orbax (falling back to numpy .npz when orbax is unavailable)."""
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from cornetto_tpu.livefish.index import MinimizerIndex
+
+
+def save_index(path: str, index: MinimizerIndex,
+               panel_mask: Optional[np.ndarray] = None,
+               tallies: Optional[Dict[str, np.ndarray]] = None) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    arrays = {
+        "hashes": index.hashes,
+        "contigs": index.contigs,
+        "positions": index.positions,
+        "shard_counts": index.shard_counts,
+        "contig_lens": index.contig_lens,
+        "k": np.int64(index.k),
+        "w": np.int64(index.w),
+        "contig_names": np.array(index.contig_names, dtype=object),
+    }
+    if panel_mask is not None:
+        arrays["panel_mask"] = panel_mask
+    for name, arr in (tallies or {}).items():
+        arrays["tally_" + name] = np.asarray(arr)
+    np.savez_compressed(path, **arrays)
+
+
+def load_index(path: str):
+    """Returns (MinimizerIndex, panel_mask or None, tallies dict)."""
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    z = np.load(path, allow_pickle=True)
+    index = MinimizerIndex(
+        hashes=z["hashes"], contigs=z["contigs"], positions=z["positions"],
+        shard_counts=z["shard_counts"],
+        contig_names=[str(x) for x in z["contig_names"]],
+        contig_lens=z["contig_lens"], k=int(z["k"]), w=int(z["w"]))
+    panel = z["panel_mask"] if "panel_mask" in z.files else None
+    tallies = {name[len("tally_"):]: z[name] for name in z.files
+               if name.startswith("tally_")}
+    return index, panel, tallies
+
+
+def save_sharded(ckpt_dir: str, tree) -> bool:
+    """Orbax checkpoint of a (possibly sharded) jax pytree; returns False if
+    orbax is unavailable."""
+    try:
+        import orbax.checkpoint as ocp
+    except ImportError:
+        return False
+    import jax
+    path = os.path.abspath(ckpt_dir)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+    return True
+
+
+def load_sharded(ckpt_dir: str, abstract_tree=None):
+    import orbax.checkpoint as ocp
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(ckpt_dir), abstract_tree)
