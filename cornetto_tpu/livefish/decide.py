@@ -30,29 +30,51 @@ class DecisionParams:
     bin_size: int = 1000
 
 
-def _lookup_votes(table_h, table_c, table_p, q_hash, q_valid, n_contigs):
-    """Local-shard lookup: returns (votes (b, C) int32, hit (b, M) bool,
-    hit_contig (b, M) int32, hit_refpos (b, M) int32)."""
+def _lookup_votes(bkeys, bvals, bucket_shift, q_hash, q_valid, n_contigs):
+    """Local-shard lookup against the bucketed table: exactly two
+    row-gathers (a K-wide key row and its value row) per query batch — the
+    TPU-friendly alternative to binary search, whose ~20 dependent gather
+    rounds dominate runtime.
+
+    bkeys: (2^B, K) uint32; bvals: (2^B, K, 2) int32 (contig, pos).
+    Returns (votes (b, C) int32, hit (b, M) bool, hit_contig (b, M) int32,
+    hit_refpos (b, M) int32).
+    """
     import jax.numpy as jnp
     b, M = q_hash.shape
-    idx = jnp.searchsorted(table_h, q_hash.ravel(), side="left")
-    idx = jnp.minimum(idx, table_h.shape[0] - 1).astype(jnp.int32)
-    found = (jnp.take(table_h, idx) == q_hash.ravel()) & q_valid.ravel()
-    contig = jnp.where(found, jnp.take(table_c, idx), 0)
-    refpos = jnp.where(found, jnp.take(table_p, idx), 0)
+    n_buckets, K = bkeys.shape
+    q = q_hash.ravel()
+    bucket = ((q >> jnp.uint32(bucket_shift))
+              & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+    cand = jnp.take(bkeys, bucket, axis=0)                    # (Q, K)
+    vrows = jnp.take(bvals.reshape(n_buckets, K * 2), bucket,
+                     axis=0).reshape(-1, K, 2)                # (Q, K, 2)
+    eq = (cand == q[:, None]) & q_valid.ravel()[:, None]
+    found = jnp.any(eq, axis=1)
+    j = jnp.argmax(eq, axis=1).astype(jnp.int32)
+    val = jnp.take_along_axis(vrows, j[:, None, None], axis=1)[:, 0, :]
+    contig = jnp.where(found, val[:, 0], 0)
+    refpos = jnp.where(found, val[:, 1], 0)
     found = found.reshape(b, M)
     contig = contig.reshape(b, M)
     refpos = refpos.reshape(b, M)
-    rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None], (b, M))
-    votes = jnp.zeros((b, n_contigs), dtype=jnp.int32)
-    votes = votes.at[rows.ravel(), contig.ravel()].add(
-        found.ravel().astype(jnp.int32))
+    if n_contigs <= 64:
+        # dense one-hot reduction beats scatter-add for small contig counts
+        oh = (contig[:, :, None]
+              == jnp.arange(n_contigs, dtype=jnp.int32)[None, None, :])
+        votes = jnp.sum(oh & found[:, :, None], axis=1, dtype=jnp.int32)
+    else:
+        rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
+                                (b, M))
+        votes = jnp.zeros((b, n_contigs), dtype=jnp.int32)
+        votes = votes.at[rows.ravel(), contig.ravel()].add(
+            found.ravel().astype(jnp.int32))
     return votes, found, contig, refpos
 
 
-def decision_core(table_h, table_c, table_p, reads, panel_mask,
+def decision_core(bkeys, bvals, reads, panel_mask,
                   k: int, w: int, min_hits: int, bin_size: int,
-                  ep_axis: str = None):
+                  bucket_shift: int, ep_axis: str = None):
     """Single-device (or per-shard, when ep_axis is set) decision step.
 
     reads: (b, L) uint8 codes.  Returns (decision (b,) int8 — 1 accept /
@@ -63,7 +85,7 @@ def decision_core(table_h, table_c, table_p, reads, panel_mask,
     n_contigs = panel_mask.shape[0]
     pos, h, valid = read_minimizers_jax(reads, k=k, w=w)
     votes, found, contig, refpos = _lookup_votes(
-        table_h, table_c, table_p, h, valid, n_contigs)
+        bkeys, bvals, bucket_shift, h, valid, n_contigs)
     if ep_axis is not None:
         votes = jax.lax.psum(votes, ep_axis)
     best = jnp.argmax(votes, axis=1).astype(jnp.int32)
@@ -93,18 +115,34 @@ class SingleChipEngine:
         import jax
         import jax.numpy as jnp
         assert index.n_shards == 1
-        self._th = jnp.asarray(index.hashes[0])
-        self._tc = jnp.asarray(index.contigs[0])
-        self._tp = jnp.asarray(index.positions[0])
+        self._bkeys = jnp.asarray(index.bkeys[0])
+        self._bvals = jnp.asarray(index.bvals[0])
         self._panel = jnp.asarray(panel_mask)
         self._fn = jax.jit(functools.partial(
             decision_core, k=index.k, w=index.w,
-            min_hits=params.min_hits, bin_size=params.bin_size))
+            min_hits=params.min_hits, bin_size=params.bin_size,
+            bucket_shift=index.bucket_shift))
 
     def decide(self, reads: np.ndarray):
         import jax.numpy as jnp
-        return self._fn(self._th, self._tc, self._tp,
+        return self._fn(self._bkeys, self._bvals,
                         jnp.asarray(reads), self._panel)
+
+    def decide_packed(self, packed: np.ndarray, nmask: np.ndarray, L: int):
+        """2-bit-packed input path: ~2.6x less host->device traffic
+        (kernels.minimizer.pack_reads); unpacks on device."""
+        import jax
+        import jax.numpy as jnp
+        from cornetto_tpu.kernels.minimizer import unpack_reads_jax
+        if not hasattr(self, "_pfn"):
+            core = self._fn
+
+            def packed_fn(bkeys, bvals, packed, nmask, panel):
+                reads = unpack_reads_jax(packed, nmask, L)
+                return core.__wrapped__(bkeys, bvals, reads, panel)
+            self._pfn = jax.jit(packed_fn)
+        return self._pfn(self._bkeys, self._bvals, jnp.asarray(packed),
+                         jnp.asarray(nmask), self._panel)
 
 
 def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
@@ -123,33 +161,33 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
     ep = mesh.shape["ep"]
     assert index.n_shards == ep, (index.n_shards, ep)
 
-    def local_step(th, tc, tp, reads, panel):
-        d, b, e, n = decision_core(th[0], tc[0], tp[0], reads, panel,
+    def local_step(bkeys, bvals, reads, panel):
+        d, b, e, n = decision_core(bkeys[0], bvals[0], reads, panel,
                                    k=index.k, w=index.w,
                                    min_hits=params.min_hits,
-                                   bin_size=params.bin_size, ep_axis="ep")
+                                   bin_size=params.bin_size,
+                                   bucket_shift=index.bucket_shift,
+                                   ep_axis="ep")
         return d, b, e, n
 
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("ep", None), P("ep", None), P("ep", None),
+        in_specs=(P("ep", None, None), P("ep", None, None, None),
                   P("dp", None), P(None, None)),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
         check_vma=False)
     jfn = jax.jit(fn)
 
-    th = jax.device_put(index.hashes,
-                        NamedSharding(mesh, P("ep", None)))
-    tc = jax.device_put(index.contigs,
-                        NamedSharding(mesh, P("ep", None)))
-    tp = jax.device_put(index.positions,
-                        NamedSharding(mesh, P("ep", None)))
+    bkeys = jax.device_put(index.bkeys,
+                           NamedSharding(mesh, P("ep", None, None)))
+    bvals = jax.device_put(index.bvals,
+                           NamedSharding(mesh, P("ep", None, None, None)))
     panel = jax.device_put(np.asarray(panel_mask),
                            NamedSharding(mesh, P(None, None)))
 
     def decide(reads):
         reads = jax.device_put(np.asarray(reads),
                                NamedSharding(mesh, P("dp", None)))
-        return jfn(th, tc, tp, reads, panel)
+        return jfn(bkeys, bvals, reads, panel)
 
     return decide
