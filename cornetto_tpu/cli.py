@@ -106,6 +106,21 @@ def main(argv=None) -> int:
     elif cmd == "telostats":
         from cornetto_tpu.pipelines import telostats
         ret = telostats.main(rest)
+    elif cmd == "minidotplot":
+        from cornetto_tpu.pipelines import minidotplot
+        ret = minidotplot.main(rest)
+    elif cmd == "hapnetto":
+        from cornetto_tpu.pipelines import hapnetto
+        ret = hapnetto.main(rest)
+    elif cmd == "refine":
+        from cornetto_tpu.pipelines import refine
+        ret = refine.main(rest)
+    elif cmd == "asmstats-pipeline":
+        from cornetto_tpu.pipelines import asmstats_sh
+        ret = asmstats_sh.main(rest)
+    elif cmd == "flow":
+        from cornetto_tpu.flow import runner
+        ret = runner.main(rest)
     elif cmd == "livefish":
         from cornetto_tpu.livefish import cli as livefish_cli
         ret = livefish_cli.main(rest)
