@@ -1,0 +1,115 @@
+#!/usr/bin/env python3
+"""Per-kernel speed-of-light accounting on the local chip (BASELINE.md asks
+for measured SOL of the sdust-DP and telomere-scan kernels).
+
+Writes BENCH_KERNELS.json and prints a table to stderr.  The headline
+single-line benchmark stays in bench.py.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _sync(x):
+    return np.asarray(x).ravel()[:1]
+
+
+def timeit(f, *a, n=5):
+    r = f(*a)
+    _sync(jax_leaves(r))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        r = f(*a)
+    _sync(jax_leaves(r))
+    return (time.perf_counter() - t0) / n
+
+
+def jax_leaves(r):
+    import jax
+    return jax.tree_util.tree_leaves(r)[0]
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    from cornetto_tpu.kernels.sdust_device import sdust_candidates_jax
+    from cornetto_tpu.kernels.telo_scan import telo_run_stats_jax
+    from cornetto_tpu.kernels.window_sum import sliding_sum_i32
+    from cornetto_tpu.kernels.minimizer import read_minimizers_jax
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    # measured memcpy-style roofline for this chip/backend
+    N = 1 << 26
+    x32 = jnp.asarray(rng.integers(0, 65536, N).astype(np.int32))
+    f = jax.jit(lambda a: (a + 1)[::1111].sum())
+    dt = timeit(f, x32)
+    roofline = N * 4 * 2 / dt / 1e9
+    results["elementwise_roofline_GBps"] = round(roofline, 1)
+
+    # telomere-scan kernel: B x L uint8 reads
+    B, L = 1024, 4096
+    codes = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    cj = jnp.asarray(codes)
+    motif = (3, 3, 0, 2, 2, 2)  # TTAGGG
+    f = jax.jit(lambda a: telo_run_stats_jax(a, motif)[0].sum())
+    dt = timeit(f, cj)
+    bases = B * L
+    results["telo_scan"] = {
+        "Gbases_per_s": round(bases / dt / 1e9, 2),
+        "bytes_per_base_model": 2,
+        "achieved_GBps": round(bases * 2 / dt / 1e9, 1),
+        "pct_of_roofline": round(100 * (bases * 2 / dt / 1e9) / roofline, 1),
+    }
+
+    # sdust device candidate filter (the DP's data-parallel phase)
+    Lc = 1 << 21
+    seq_codes = rng.integers(0, 4, Lc).astype(np.uint8)
+    sj = jnp.asarray(seq_codes)
+    f = jax.jit(lambda a: sdust_candidates_jax(a).sum())
+    dt = timeit(f, sj)
+    # traffic model: one-hot histogram doubling = ~2*log2(62) passes over
+    # (L, 64) int32
+    model_bytes = Lc * 64 * 4 * 2 * 6
+    results["sdust_candidate_filter"] = {
+        "Mbases_per_s": round(Lc / dt / 1e6, 1),
+        "achieved_GBps_model": round(model_bytes / dt / 1e9, 1),
+        "pct_of_roofline": round(100 * (model_bytes / dt / 1e9) / roofline,
+                                 1),
+    }
+
+    # boringbits sliding-window sum
+    Nw = 1 << 26
+    xw = jnp.asarray(rng.integers(0, 65536, Nw).astype(np.int32))
+    f = jax.jit(lambda a: sliding_sum_i32(a, 2500)[::4096].sum())
+    dt = timeit(f, xw)
+    passes = 2 * 11  # log-doubling reads+writes
+    results["window_sliding_sum"] = {
+        "Gbases_per_s": round(Nw / dt / 1e9, 2),
+        "achieved_GBps_model": round(Nw * 4 * passes / dt / 1e9, 1),
+        "pct_of_roofline": round(
+            100 * (Nw * 4 * passes / dt / 1e9) / roofline, 1),
+    }
+
+    # minimizer extraction
+    B2, L2 = 16384, 450
+    rcodes = jnp.asarray(rng.integers(0, 4, size=(B2, L2)).astype(np.uint8))
+    f = jax.jit(lambda a: read_minimizers_jax(a)[1].sum())
+    dt = timeit(f, rcodes)
+    results["minimizer_extraction"] = {
+        "Mreads_per_s": round(B2 / dt / 1e6, 3),
+        "Gbases_per_s": round(B2 * L2 / dt / 1e9, 2),
+    }
+
+    with open("BENCH_KERNELS.json", "w") as fjson:
+        json.dump(results, fjson, indent=1)
+    sys.stderr.write(json.dumps(results, indent=1) + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
