@@ -8,8 +8,6 @@ with one `ppermute` over the ``sp`` axis, to compute its sliding-window
 sums independently.
 """
 
-import functools
-
 import numpy as np
 
 from cornetto_tpu.kernels.window_sum import sliding_sum_i32

@@ -12,7 +12,6 @@ tools (basecaller, hifiasm, minimap2) through pluggable command templates.
 
 import json
 import os
-import shlex
 import subprocess
 import sys
 import time

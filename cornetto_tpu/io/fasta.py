@@ -40,7 +40,6 @@ def read_fastx(path: str) -> Iterator[FastxRecord]:
             yield from _parse_fasta_fast(fp)
         else:
             import itertools
-            import io as _io
             yield from parse_fastx(itertools.chain([first + fp.readline()],
                                                    fp))
 

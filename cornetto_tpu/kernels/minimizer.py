@@ -15,8 +15,6 @@ Design notes (TPU-first):
   log2(w) doubling steps — no data-dependent control flow anywhere.
 """
 
-import functools
-
 import numpy as np
 
 DEFAULT_K = 15

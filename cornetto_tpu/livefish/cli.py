@@ -52,7 +52,7 @@ def _cmd_run(argv) -> int:
     import getopt as _getopt
     from cornetto_tpu.dist.checkpoint import load_index
     from cornetto_tpu.io.bed import read_bed3
-    from cornetto_tpu.livefish.decide import DecisionParams, SingleChipEngine
+    from cornetto_tpu.livefish.decide import SingleChipEngine
     from cornetto_tpu.livefish.index import build_panel_mask
     from cornetto_tpu.livefish.stream import stream_decisions
     opts, args = _getopt.gnu_getopt(argv, "b:l:p:",

@@ -12,7 +12,7 @@ Only the operations the reference tools use are implemented (put/get/iterate;
 no deletions occur in any output-order-sensitive path).
 """
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 
 def x31_hash(s: str) -> int:

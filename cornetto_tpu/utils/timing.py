@@ -1,7 +1,6 @@
 """Run-footer self-reporting: real time, CPU time, peak RSS
 (reference: src/main.c:145-149, src/misc.c:48-70)."""
 
-import os
 import resource
 import sys
 import time
