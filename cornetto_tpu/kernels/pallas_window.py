@@ -43,11 +43,13 @@ def sliding_window_sum_pallas(x, window: int, chunk: int = 65536,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    n = x.shape[0]
-    assert n % chunk == 0, (n, chunk)
+    n_in = x.shape[0]
+    # pad to a chunk multiple (zeros keep the sliding-sum contract)
+    n = -(-n_in // chunk) * chunk
     # DMA slice widths must be 128-lane aligned; round the halo up
     halo = -(-window // 128) * 128
-    xp = jnp.concatenate([x, jnp.zeros((halo,), dtype=x.dtype)])
+    xp = jnp.concatenate(
+        [x, jnp.zeros((n - n_in + halo,), dtype=x.dtype)])
     xp = xp.reshape(1, n + halo)
 
     def kernel(x_hbm, o_ref, scratch, sem):
@@ -71,4 +73,4 @@ def sliding_window_sum_pallas(x, window: int, chunk: int = 65536,
         ],
         interpret=interpret,
     )(xp)
-    return out[0]
+    return out[0, :n_in]

@@ -100,12 +100,19 @@ def _window_sums_strided(x, window_size: int, window_inc: int, nw_max: int):
     the inc-times-smaller block array.  O(1) passes over the big array
     instead of O(log window_size).
     """
+    import jax
     import jax.numpy as jnp
     n = x.shape[0]
     # NB: a (n/inc, inc)-reshape block-sum two-level path was measured but
-    # the (M, 50) minor-dim layout stalls the TPU compiler; the flat
-    # doubling form compiles fast and runs ~20x the reference's scalar loop.
-    win = sliding_sum_i32(x, window_size)
+    # the (M, 50) minor-dim layout stalls the TPU compiler.  On TPU the
+    # single-pass Pallas tile kernel is 1.6x the flat doubling form
+    # (kernels.pallas_window); CPU/interpret falls back to doubling.
+    if jax.default_backend() not in ("cpu",) and window_size <= 65536:
+        from cornetto_tpu.kernels.pallas_window import \
+            sliding_window_sum_pallas
+        win = sliding_window_sum_pallas(x, window_size)
+    else:
+        win = sliding_sum_i32(x, window_size)
     j = jnp.arange(nw_max, dtype=jnp.int32)
     st_c = jnp.minimum(j * window_inc, n - 1)
     return win[st_c]
