@@ -81,11 +81,17 @@ def stream_decisions(engine, fastq_path: str, batch: int = 4096,
     `read_id\tdecision\tcontig\tpos\tnhits` rows.  Returns
     (n_reads, n_accepted)."""
     import sys
+    from cornetto_tpu.kernels.minimizer import pack_reads
     out = out or sys.stdout
     total = accepted = 0
+    use_packed = hasattr(engine, "decide_packed")
     pending = None  # (ReadBatch, device result) for pipelining
     for rb in Prefetcher(batches_from_fastq(fastq_path, batch, read_len)):
-        res = engine.decide(rb.codes)
+        if use_packed:
+            packed, nmask = pack_reads(rb.codes)
+            res = engine.decide_packed(packed, nmask, read_len)
+        else:
+            res = engine.decide(rb.codes)
         if pending is not None:
             total, accepted = _drain(pending[0], pending[1], out,
                                      total, accepted, engine)
