@@ -35,6 +35,14 @@ def test_asmstats_trim(gold, monkeypatch):
     assert out.getvalue() == (gold / "asmstats_trim.txt").read_text()
 
 
+def test_asmstats_human2(gold, monkeypatch):
+    from cornetto_tpu.tools import asmstats
+    monkeypatch.chdir(gold)
+    got = _cap(asmstats.run, "fixasm_fixed.paf", "telo_fixed.bed",
+               "report_fixed.tsv", order="human2")
+    assert got == (gold / "asmstats_human2.txt").read_text()
+
+
 def test_asmstats_fasta_order(gold, monkeypatch):
     from cornetto_tpu.tools import asmstats
     monkeypatch.chdir(gold)
