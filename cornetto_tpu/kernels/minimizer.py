@@ -94,7 +94,8 @@ def hash32_jax(x):
     return x
 
 
-def read_minimizers_jax(codes, k: int = DEFAULT_K, w: int = DEFAULT_W):
+def read_minimizers_jax(codes, k: int = DEFAULT_K, w: int = DEFAULT_W,
+                        want_pos: bool = True):
     """Batched device kernel: codes (B, L) uint8 -> (positions (B, M) int32,
     hashes (B, M) uint32, valid (B, M) bool), M = (L-k+1)//w, static.
 
@@ -155,10 +156,16 @@ def read_minimizers_jax(codes, k: int = DEFAULT_K, w: int = DEFAULT_W):
     h = jnp.where(valid, h, jnp.uint32(0xFFFFFFFF))
     nwin = m // w
     hw = h[:, :nwin * w].reshape(B, nwin, w)
-    arg = jnp.argmin(hw, axis=2).astype(jnp.int32)
-    win_base = (jnp.arange(nwin, dtype=jnp.int32) * w)[None, :]
-    pos = win_base + arg
-    hmin = jnp.take_along_axis(hw, arg[:, :, None], axis=2)[:, :, 0]
+    if want_pos:
+        arg = jnp.argmin(hw, axis=2).astype(jnp.int32)
+        win_base = (jnp.arange(nwin, dtype=jnp.int32) * w)[None, :]
+        pos = win_base + arg
+        hmin = jnp.take_along_axis(hw, arg[:, :, None], axis=2)[:, :, 0]
+    else:
+        # the decision path only needs the hash minima; skipping the
+        # argmin + gather shaves the extraction kernel
+        pos = None
+        hmin = jnp.min(hw, axis=2)
     vmin = hmin != jnp.uint32(0xFFFFFFFF)
     return pos, hmin, vmin
 

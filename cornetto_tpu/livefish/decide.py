@@ -83,7 +83,7 @@ def decision_core(bkeys, bvals, reads, panel_mask,
     import jax
     import jax.numpy as jnp
     n_contigs = panel_mask.shape[0]
-    pos, h, valid = read_minimizers_jax(reads, k=k, w=w)
+    pos, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
     votes, found, contig, refpos = _lookup_votes(
         bkeys, bvals, bucket_shift, h, valid, n_contigs)
     if ep_axis is not None:
