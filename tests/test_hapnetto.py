@@ -41,6 +41,24 @@ def _hap_paf(path, rng, lens, n_hits=10):
                        span - 10, span))
 
 
+def test_recreate_hapnetto(tmp_path, synth, monkeypatch):
+    from cornetto_tpu.pipelines import recreate_cornetto
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / "asm.fasta").write_text((synth / "asm.fasta").read_text())
+    (tmp_path / "asm.bp.p_ctg.lowQ.bed").write_text(
+        (synth / "asm.bp.p_ctg.lowQ.bed").read_text())
+    assert recreate_cornetto.run("asm.fasta") == 0
+    rng = np.random.default_rng(23)
+    lens = {l.split()[0]: int(l.split()[2])
+            for l in open("tmp_recreate_cornetto/asm.chroms.bed")}
+    _hap_paf("hap1.paf", rng, lens)
+    _hap_paf("hap2.paf", rng, lens)
+    rc = hapnetto.run("asm", hap1_paf="hap1.paf", hap2_paf="hap2.paf",
+                      recreate=True)
+    assert rc == 0
+    assert os.path.exists("asm_dip.boringbits.bed")
+
+
 def test_hapnetto(created):
     tmp_path, lens = created
     rng = np.random.default_rng(22)
