@@ -30,31 +30,43 @@ class DecisionParams:
     bin_size: int = 1000
 
 
-def _lookup_votes(bkeys, bvals, bucket_shift, q_hash, q_valid, n_contigs):
-    """Local-shard lookup against the bucketed table: exactly two
-    row-gathers (a K-wide key row and its value row) per query batch — the
-    TPU-friendly alternative to binary search, whose ~20 dependent gather
-    rounds dominate runtime.
+def pack_table(bkeys, bvals):
+    """(2^B, K) uint32 keys + (2^B, K, 2) int32 vals -> one (2^B, 3K)
+    int32 row table [keys | contigs | positions] so a lookup is a single
+    row-gather."""
+    n_buckets, K = bkeys.shape
+    return np.concatenate(
+        [bkeys.view(np.int32), bvals[:, :, 0], bvals[:, :, 1]],
+        axis=1)
 
-    bkeys: (2^B, K) uint32; bvals: (2^B, K, 2) int32 (contig, pos).
+
+def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
+    """Local-shard lookup against the packed bucketed table: exactly ONE
+    row-gather per query batch — the TPU-friendly alternative to binary
+    search, whose ~20 dependent gather rounds dominate runtime.
+
+    btable: (2^B, 3K) int32 rows of [keys | contigs | positions].
     Returns (votes (b, C) int32, hit (b, M) bool, hit_contig (b, M) int32,
     hit_refpos (b, M) int32).
     """
     import jax.numpy as jnp
     b, M = q_hash.shape
-    n_buckets, K = bkeys.shape
+    n_buckets = btable.shape[0]
+    K = btable.shape[1] // 3
+    import jax
     q = q_hash.ravel()
     bucket = ((q >> jnp.uint32(bucket_shift))
               & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
-    cand = jnp.take(bkeys, bucket, axis=0)                    # (Q, K)
-    vrows = jnp.take(bvals.reshape(n_buckets, K * 2), bucket,
-                     axis=0).reshape(-1, K, 2)                # (Q, K, 2)
-    eq = (cand == q[:, None]) & q_valid.ravel()[:, None]
+    row = jnp.take(btable, bucket, axis=0)                    # (Q, 3K)
+    cand = row[:, :K]
+    q_i32 = jax.lax.bitcast_convert_type(q, jnp.int32)
+    eq = (cand == q_i32[:, None]) & q_valid.ravel()[:, None]
     found = jnp.any(eq, axis=1)
     j = jnp.argmax(eq, axis=1).astype(jnp.int32)
-    val = jnp.take_along_axis(vrows, j[:, None, None], axis=1)[:, 0, :]
-    contig = jnp.where(found, val[:, 0], 0)
-    refpos = jnp.where(found, val[:, 1], 0)
+    contig = jnp.take_along_axis(row[:, K:2 * K], j[:, None], axis=1)[:, 0]
+    refpos = jnp.take_along_axis(row[:, 2 * K:], j[:, None], axis=1)[:, 0]
+    contig = jnp.where(found, contig, 0)
+    refpos = jnp.where(found, refpos, 0)
     found = found.reshape(b, M)
     contig = contig.reshape(b, M)
     refpos = refpos.reshape(b, M)
@@ -72,11 +84,12 @@ def _lookup_votes(bkeys, bvals, bucket_shift, q_hash, q_valid, n_contigs):
     return votes, found, contig, refpos
 
 
-def decision_core(bkeys, bvals, reads, panel_mask,
+def decision_core(btable, reads, panel_mask,
                   k: int, w: int, min_hits: int, bin_size: int,
                   bucket_shift: int, ep_axis: str = None):
     """Single-device (or per-shard, when ep_axis is set) decision step.
 
+    btable: packed (2^B, 3K) int32 lookup rows (see pack_table).
     reads: (b, L) uint8 codes.  Returns (decision (b,) int8 — 1 accept /
     0 reject, best_contig (b,) int32, est_pos (b,) int32, nhits (b,) int32).
     """
@@ -85,7 +98,7 @@ def decision_core(bkeys, bvals, reads, panel_mask,
     n_contigs = panel_mask.shape[0]
     pos, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
     votes, found, contig, refpos = _lookup_votes(
-        bkeys, bvals, bucket_shift, h, valid, n_contigs)
+        btable, bucket_shift, h, valid, n_contigs)
     if ep_axis is not None:
         votes = jax.lax.psum(votes, ep_axis)
     best = jnp.argmax(votes, axis=1).astype(jnp.int32)
@@ -115,8 +128,8 @@ class SingleChipEngine:
         import jax
         import jax.numpy as jnp
         assert index.n_shards == 1
-        self._bkeys = jnp.asarray(index.bkeys[0])
-        self._bvals = jnp.asarray(index.bvals[0])
+        self._btable = jnp.asarray(pack_table(index.bkeys[0],
+                                              index.bvals[0]))
         self._panel = jnp.asarray(panel_mask)
         self._fn = jax.jit(functools.partial(
             decision_core, k=index.k, w=index.w,
@@ -125,8 +138,7 @@ class SingleChipEngine:
 
     def decide(self, reads: np.ndarray):
         import jax.numpy as jnp
-        return self._fn(self._bkeys, self._bvals,
-                        jnp.asarray(reads), self._panel)
+        return self._fn(self._btable, jnp.asarray(reads), self._panel)
 
     def decide_packed(self, packed: np.ndarray, nmask: np.ndarray, L: int):
         """2-bit-packed input path: ~2.6x less host->device traffic
@@ -137,11 +149,11 @@ class SingleChipEngine:
         if not hasattr(self, "_pfn"):
             core = self._fn
 
-            def packed_fn(bkeys, bvals, packed, nmask, panel):
+            def packed_fn(btable, packed, nmask, panel):
                 reads = unpack_reads_jax(packed, nmask, L)
-                return core.__wrapped__(bkeys, bvals, reads, panel)
+                return core.__wrapped__(btable, reads, panel)
             self._pfn = jax.jit(packed_fn)
-        return self._pfn(self._bkeys, self._bvals, jnp.asarray(packed),
+        return self._pfn(self._btable, jnp.asarray(packed),
                          jnp.asarray(nmask), self._panel)
 
 
@@ -161,8 +173,8 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
     ep = mesh.shape["ep"]
     assert index.n_shards == ep, (index.n_shards, ep)
 
-    def local_step(bkeys, bvals, reads, panel):
-        d, b, e, n = decision_core(bkeys[0], bvals[0], reads, panel,
+    def local_step(btable, reads, panel):
+        d, b, e, n = decision_core(btable[0], reads, panel,
                                    k=index.k, w=index.w,
                                    min_hits=params.min_hits,
                                    bin_size=params.bin_size,
@@ -172,22 +184,21 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
 
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("ep", None, None), P("ep", None, None, None),
-                  P("dp", None), P(None, None)),
+        in_specs=(P("ep", None, None), P("dp", None), P(None, None)),
         out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
         check_vma=False)
     jfn = jax.jit(fn)
 
-    bkeys = jax.device_put(index.bkeys,
-                           NamedSharding(mesh, P("ep", None, None)))
-    bvals = jax.device_put(index.bvals,
-                           NamedSharding(mesh, P("ep", None, None, None)))
+    btable = jax.device_put(
+        np.stack([pack_table(index.bkeys[s], index.bvals[s])
+                  for s in range(ep)]),
+        NamedSharding(mesh, P("ep", None, None)))
     panel = jax.device_put(np.asarray(panel_mask),
                            NamedSharding(mesh, P(None, None)))
 
     def decide(reads):
         reads = jax.device_put(np.asarray(reads),
                                NamedSharding(mesh, P("dp", None)))
-        return jfn(bkeys, bvals, reads, panel)
+        return jfn(btable, reads, panel)
 
     return decide
