@@ -55,17 +55,19 @@ def main() -> int:
 
     from cornetto_tpu.kernels.minimizer import pack_reads
     read_len = reads.shape[1]
-    packed, nmask = pack_reads(reads)
+    packed, _ = pack_reads(reads)
+    # N-free batch (basecallers emit pure ACGT): the 2-bit packed codes are
+    # the ONLY per-read host->device traffic — 113 B/read at L=450
 
     # warmup / compile (np.asarray forces a host readback — on the axon
     # tunnel block_until_ready alone does not actually synchronise)
-    d = eng.decide_packed(packed, nmask, read_len)
+    d = eng.decide_packed(packed, None, read_len)
     np.asarray(d[0])
 
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
-        d = eng.decide_packed(packed, nmask, read_len)
+        d = eng.decide_packed(packed, None, read_len)
     np.asarray(d[0])
     dt = time.perf_counter() - t0
 

@@ -25,8 +25,7 @@ def save_index(path: str, index: MinimizerIndex,
         "contig_lens": index.contig_lens,
         "k": np.int64(index.k),
         "w": np.int64(index.w),
-        "bkeys": index.bkeys,
-        "bvals": index.bvals,
+        "btable": index.btable,
         "bucket_shift": np.int64(index.bucket_shift),
         "bucket_slots": np.int64(index.bucket_slots),
         "contig_names": np.array(index.contig_names, dtype=object),
@@ -48,7 +47,7 @@ def load_index(path: str):
         shard_counts=z["shard_counts"],
         contig_names=[str(x) for x in z["contig_names"]],
         contig_lens=z["contig_lens"], k=int(z["k"]), w=int(z["w"]),
-        bkeys=z["bkeys"], bvals=z["bvals"],
+        btable=z["btable"],
         bucket_shift=int(z["bucket_shift"]),
         bucket_slots=int(z["bucket_slots"]))
     panel = z["panel_mask"] if "panel_mask" in z.files else None

@@ -1,0 +1,239 @@
+"""Iterative chunk-by-chunk adaptive-sampling decisions (read-until).
+
+The reference protocol hands live decisions to readfish, whose operating
+model is: the sequencer surfaces each in-progress read as a growing series
+of ~1 s basecalled chunks per channel, and the controller answers every
+chunk with one of three actions (reference: docs/protocol.md:137-161 and
+the readfish TOML it configures):
+
+  - ``unblock``         — eject the read (it maps into the boring panel);
+  - ``stop_receiving``  — keep sequencing but stop streaming chunks
+                          (decision made: the read is wanted);
+  - ``proceed``         — no confident mapping yet, wait for more data.
+
+This module supplies that per-channel state machine on top of the batch
+decision engines (livefish.decide).  TPU-first design: every tick gathers
+the accumulated prefixes of all channels with fresh data into ONE
+fixed-shape packed batch — a single compiled decide step per tick
+regardless of how many channels fired — and host-side state is plain
+numpy per-channel arrays.
+"""
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from cornetto_tpu.kernels.minimizer import encode_seq, pack_reads
+
+# actions
+PROCEED = 0
+UNBLOCK = 1
+STOP_RECEIVING = 2
+ACTION_NAMES = {PROCEED: "proceed", UNBLOCK: "unblock",
+                STOP_RECEIVING: "stop_receiving"}
+
+
+@dataclass
+class ChunkPolicy:
+    """readfish-equivalent control knobs."""
+    min_hits: int = 3           # confidence threshold (engine min_hits)
+    max_chunks: int = 4         # give up deciding after this many chunks
+    # what to do with a still-unmapped read at max_chunks: readfish's
+    # "no_map" conditions — proceed (leave it alone) or unblock
+    no_map_action: int = PROCEED
+
+
+@dataclass
+class ChunkEvent:
+    """One basecalled chunk from one channel."""
+    channel: int
+    read_id: str
+    seq: str                    # the NEW bases of this chunk only
+
+
+@dataclass
+class ChunkDecision:
+    channel: int
+    read_id: str
+    action: int
+    n_chunks: int               # chunks consumed to reach this decision
+    contig: int = -1
+    pos: int = -1
+    nhits: int = 0
+
+
+class ChunkDecisionEngine:
+    """Per-channel read-until state machine over a batch decision engine.
+
+    engine: SingleChipEngine (or any object with decide_packed(packed,
+    nmask, L) -> (decision, best, est, nhits)).  batch is the fixed device
+    batch per tick (one jit compile); channels beyond it queue to the next
+    tick.  max_len = chunk_len * policy.max_chunks bounds the accumulated
+    prefix re-decided each tick.
+    """
+
+    def __init__(self, engine, n_channels: int, chunk_len: int,
+                 policy: ChunkPolicy = ChunkPolicy(), batch: int = 512):
+        self.engine = engine
+        self.policy = policy
+        self.chunk_len = chunk_len
+        self.batch = batch
+        self.max_len = chunk_len * policy.max_chunks
+        C = n_channels
+        self._buf = np.full((C, self.max_len), 4, dtype=np.uint8)
+        self._blen = np.zeros(C, dtype=np.int64)
+        self._chunks = np.zeros(C, dtype=np.int64)
+        self._read_id: List[str] = [""] * C
+        self._done = np.zeros(C, dtype=bool)   # decision already emitted
+
+    def _reset_channel(self, c: int, read_id: str) -> None:
+        self._buf[c] = 4
+        self._blen[c] = 0
+        self._chunks[c] = 0
+        self._read_id[c] = read_id
+        self._done[c] = False
+
+    def process(self, events: Sequence[ChunkEvent]) -> List[ChunkDecision]:
+        """Consume one tick's chunks, return decisions for every event
+        (channels whose read is already decided get their standing action
+        STOP_RECEIVING silently skipped — readfish stops receiving chunks
+        for them, so emitting nothing is the faithful behavior)."""
+        pending: List[int] = []
+        for ev in events:
+            c = ev.channel
+            if ev.read_id != self._read_id[c]:
+                self._reset_channel(c, ev.read_id)
+            if self._done[c]:
+                continue
+            codes = encode_seq(ev.seq)
+            n = int(self._blen[c])
+            take = min(len(codes), self.max_len - n)
+            if take > 0:
+                self._buf[c, n:n + take] = codes[:take]
+                self._blen[c] = n + take
+            self._chunks[c] += 1
+            pending.append(c)
+        out: List[ChunkDecision] = []
+        for i in range(0, len(pending), self.batch):
+            out.extend(self._decide(pending[i:i + self.batch]))
+        return out
+
+    def _decide(self, chans: List[int]) -> List[ChunkDecision]:
+        rows = np.full((self.batch, self.max_len), 4, dtype=np.uint8)
+        rows[:len(chans)] = self._buf[chans]
+        packed, nmask = pack_reads(rows)
+        d, best, est, nhits = (np.asarray(x) for x in
+                               self.engine.decide_packed(packed, nmask,
+                                                         self.max_len))
+        out: List[ChunkDecision] = []
+        for i, c in enumerate(chans):
+            mapped = int(nhits[i]) >= self.policy.min_hits
+            if mapped:
+                action = UNBLOCK if d[i] == 0 else STOP_RECEIVING
+            elif self._chunks[c] >= self.policy.max_chunks:
+                action = self.policy.no_map_action
+                if action == PROCEED:
+                    # terminal proceed: stop re-deciding, let it run out
+                    self._done[c] = True
+            else:
+                action = PROCEED
+            if action != PROCEED:
+                self._done[c] = True
+            out.append(ChunkDecision(
+                channel=c, read_id=self._read_id[c], action=action,
+                n_chunks=int(self._chunks[c]),
+                contig=int(best[i]) if mapped else -1,
+                pos=int(est[i]) if mapped else -1,
+                nhits=int(nhits[i])))
+        return out
+
+
+# ---------------------------------------------------------------------------
+# read-until replay simulation (the test/benchmark harness the reference
+# lacks: it validates the control loop end-to-end without a sequencer)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class ReplayMetrics:
+    n_reads: int = 0
+    n_unblocked: int = 0
+    n_stop_receiving: int = 0
+    n_no_decision: int = 0
+    bases_sequenced: int = 0            # with adaptive sampling
+    bases_without_as: int = 0           # counterfactual: full reads
+    mean_decision_chunks: float = 0.0
+    true_reject: int = 0                # unblocked AND truly panel-origin
+    false_reject: int = 0               # unblocked but NOT panel-origin
+
+
+def replay_read_until(engine: ChunkDecisionEngine,
+                      reads: Sequence[Tuple[str, str, bool]],
+                      unblock_overhead: int = 500) -> ReplayMetrics:
+    """Replay full reads through the chunk engine as a sequencer would.
+
+    reads: (read_id, full_sequence, is_panel_origin) triples.
+    Channels are recycled: a new read starts on a channel as soon as the
+    previous one finishes (unblocked early or sequenced to the end).
+    unblock_overhead: bases already sequenced by the time an unblock takes
+    effect (pore traversal + basecall latency), charged to every unblock.
+    """
+    C = engine._buf.shape[0]
+    chunk_len = engine.chunk_len
+    m = ReplayMetrics()
+    queue = list(reads)
+    # (read_id, seq, panel, next_offset, decided_action)
+    active: Dict[int, list] = {}
+    decision_chunks: List[int] = []
+
+    def load(c: int):
+        if queue:
+            rid, seq, panel = queue.pop(0)
+            active[c] = [rid, seq, panel, 0, None]
+        elif c in active:
+            del active[c]
+
+    for c in range(min(C, len(queue))):
+        load(c)
+    while active:
+        events = []
+        for c, st in list(active.items()):
+            rid, seq, panel, off, decided = st
+            if decided is None and off < len(seq):
+                events.append(ChunkEvent(c, rid,
+                                         seq[off:off + chunk_len]))
+            st[3] = off + chunk_len
+        for dec in engine.process(events):
+            st = active.get(dec.channel)
+            if st is None or st[0] != dec.read_id:
+                continue
+            if dec.action == UNBLOCK:
+                m.n_unblocked += 1
+                if st[2]:
+                    m.true_reject += 1
+                else:
+                    m.false_reject += 1
+                sequenced = min(len(st[1]),
+                                dec.n_chunks * chunk_len + unblock_overhead)
+                m.bases_sequenced += sequenced
+                m.bases_without_as += len(st[1])
+                m.n_reads += 1
+                decision_chunks.append(dec.n_chunks)
+                load(dec.channel)
+            elif dec.action == STOP_RECEIVING:
+                m.n_stop_receiving += 1
+                st[4] = STOP_RECEIVING
+                decision_chunks.append(dec.n_chunks)
+        # finish reads that ran to their end (stop_receiving or undecided)
+        for c, st in list(active.items()):
+            rid, seq, panel, off, decided = st
+            if off >= len(seq):
+                if decided is None:
+                    m.n_no_decision += 1
+                m.bases_sequenced += len(seq)
+                m.bases_without_as += len(seq)
+                m.n_reads += 1
+                load(c)
+    if decision_chunks:
+        m.mean_decision_chunks = float(np.mean(decision_chunks))
+    return m

@@ -30,41 +30,43 @@ class DecisionParams:
     bin_size: int = 1000
 
 
-def pack_table(bkeys, bvals):
-    """(2^B, K) uint32 keys + (2^B, K, 2) int32 vals -> one (2^B, 3K)
-    int32 row table [keys | contigs | positions] so a lookup is a single
-    row-gather."""
-    n_buckets, K = bkeys.shape
-    return np.concatenate(
-        [bkeys.view(np.int32), bvals[:, :, 0], bvals[:, :, 1]],
-        axis=1)
-
-
 def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
-    """Local-shard lookup against the packed bucketed table: exactly ONE
-    row-gather per query batch — the TPU-friendly alternative to binary
-    search, whose ~20 dependent gather rounds dominate runtime.
+    """Local-shard lookup against the fingerprinted bucket table: exactly
+    ONE 32-byte row-gather per query — the TPU-friendly alternative to
+    binary search, whose ~20 dependent gather rounds dominate runtime.
 
-    btable: (2^B, 3K) int32 rows of [keys | contigs | positions].
+    btable: (2^B, 8) int32 rows of [fp pairs | contig pairs | 4 positions]
+    (layout in livefish.index.MinimizerIndex; the uint16 fingerprint
+    comparison is exact because shard+bucket bits pin the rest of the key).
     Returns (votes (b, C) int32, hit (b, M) bool, hit_contig (b, M) int32,
     hit_refpos (b, M) int32).
     """
     import jax.numpy as jnp
     b, M = q_hash.shape
     n_buckets = btable.shape[0]
-    K = btable.shape[1] // 3
-    import jax
+    log2b = int(n_buckets).bit_length() - 1
     q = q_hash.ravel()
     bucket = ((q >> jnp.uint32(bucket_shift))
               & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
-    row = jnp.take(btable, bucket, axis=0)                    # (Q, 3K)
-    cand = row[:, :K]
-    q_i32 = jax.lax.bitcast_convert_type(q, jnp.int32)
-    eq = (cand == q_i32[:, None]) & q_valid.ravel()[:, None]
-    found = jnp.any(eq, axis=1)
-    j = jnp.argmax(eq, axis=1).astype(jnp.int32)
-    contig = jnp.take_along_axis(row[:, K:2 * K], j[:, None], axis=1)[:, 0]
-    refpos = jnp.take_along_axis(row[:, 2 * K:], j[:, None], axis=1)[:, 0]
+    row = jnp.take(btable, bucket, axis=0)                    # (Q, 8)
+    # fingerprint = the top bits above shard+bucket (always <= 16 of them)
+    qfp = (q >> jnp.uint32(bucket_shift + log2b)).astype(jnp.int32)
+    qv = q_valid.ravel()
+    found = jnp.zeros_like(qv)
+    contig = jnp.zeros_like(qfp)
+    refpos = jnp.zeros_like(qfp)
+    for s in range(4):
+        word = row[:, s // 2]
+        ctw = row[:, 2 + s // 2]
+        fp = (word >> (16 * (s % 2))) & 0xFFFF
+        ct = (ctw >> (16 * (s % 2))) & 0xFFFF
+        # index hashes are unique, so at most one slot matches: the where-
+        # chain is exact first-match selection
+        m = (fp == qfp) & (ct != 0xFFFF)
+        found = found | m
+        contig = jnp.where(m, ct, contig)
+        refpos = jnp.where(m, row[:, 4 + s], refpos)
+    found = found & qv
     contig = jnp.where(found, contig, 0)
     refpos = jnp.where(found, refpos, 0)
     found = found.reshape(b, M)
@@ -89,14 +91,59 @@ def decision_core(btable, reads, panel_mask,
                   bucket_shift: int, ep_axis: str = None):
     """Single-device (or per-shard, when ep_axis is set) decision step.
 
-    btable: packed (2^B, 3K) int32 lookup rows (see pack_table).
+    btable: (2^B, 8) int32 fingerprinted lookup rows (livefish.index).
     reads: (b, L) uint8 codes.  Returns (decision (b,) int8 — 1 accept /
     0 reject, best_contig (b,) int32, est_pos (b,) int32, nhits (b,) int32).
     """
+    pos, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
+    return _decide_from_minima(btable, h, valid, panel_mask,
+                               min_hits, bin_size, bucket_shift, ep_axis)
+
+
+def decision_core_packed(btable, packed, nmask, panel_mask,
+                         L: int, k: int, w: int, min_hits: int,
+                         bin_size: int, bucket_shift: int,
+                         ep_axis: str = None, use_pallas: bool = True,
+                         interpret: bool = False, lengths=None):
+    """Decision step on 2-bit packed reads (~2.6x less host->device
+    traffic; nmask=None for N-free batches — the ONT norm — drops the
+    bitmap transfer too, optionally replaced by 4-byte per-read lengths).
+    With use_pallas, unpack + k-mer pyramid + hash + window-min run as ONE
+    fused VMEM-resident kernel (kernels.pallas_extract) instead of ~20 XLA
+    HBM passes."""
+    if use_pallas:
+        from cornetto_tpu.kernels.pallas_extract import extract_minima_pallas
+        h, valid = extract_minima_pallas(packed, nmask, L, k, w,
+                                         interpret=interpret,
+                                         lengths=lengths)
+    else:
+        from cornetto_tpu.kernels.minimizer import (read_minimizers_jax,
+                                                    unpack_reads_jax)
+        import jax.numpy as jnp
+        if nmask is None:
+            B = packed.shape[0]
+            nmask = jnp.zeros((B, -(-L // 8)), dtype=jnp.uint8)
+            if lengths is not None:
+                # mark bases at/after each read's length as N
+                pos = jnp.arange(-(-L // 8) * 8, dtype=jnp.int32)
+                bits = (pos[None, :] >= lengths.astype(jnp.int32)[:, None])
+                byte = jnp.sum(
+                    bits.reshape(B, -1, 8).astype(jnp.uint8)
+                    << jnp.arange(8, dtype=jnp.uint8)[None, None, :],
+                    axis=2, dtype=jnp.uint8)
+                nmask = byte
+        reads = unpack_reads_jax(packed, nmask, L)
+        _, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
+    return _decide_from_minima(btable, h, valid, panel_mask,
+                               min_hits, bin_size, bucket_shift, ep_axis)
+
+
+def _decide_from_minima(btable, h, valid, panel_mask, min_hits: int,
+                        bin_size: int, bucket_shift: int,
+                        ep_axis: str = None):
     import jax
     import jax.numpy as jnp
     n_contigs = panel_mask.shape[0]
-    pos, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
     votes, found, contig, refpos = _lookup_votes(
         btable, bucket_shift, h, valid, n_contigs)
     if ep_axis is not None:
@@ -128,33 +175,46 @@ class SingleChipEngine:
         import jax
         import jax.numpy as jnp
         assert index.n_shards == 1
-        self._btable = jnp.asarray(pack_table(index.bkeys[0],
-                                              index.bvals[0]))
+        self._btable = jnp.asarray(index.btable[0])
         self._panel = jnp.asarray(panel_mask)
+        # the fused Pallas extraction kernel is compiled for TPU; on the
+        # CPU test backend fall back to the (bit-identical) XLA path
+        self._use_pallas = jax.default_backend() == "tpu"
         self._fn = jax.jit(functools.partial(
             decision_core, k=index.k, w=index.w,
             min_hits=params.min_hits, bin_size=params.bin_size,
             bucket_shift=index.bucket_shift))
+        self._index = index
+        self._params = params
 
     def decide(self, reads: np.ndarray):
         import jax.numpy as jnp
         return self._fn(self._btable, jnp.asarray(reads), self._panel)
 
-    def decide_packed(self, packed: np.ndarray, nmask: np.ndarray, L: int):
+    def decide_packed(self, packed: np.ndarray, nmask, L: int,
+                      lengths=None):
         """2-bit-packed input path: ~2.6x less host->device traffic
-        (kernels.minimizer.pack_reads); unpacks on device."""
+        (kernels.minimizer.pack_reads); unpack + extraction run fused on
+        device (Pallas on TPU).  nmask=None for N-free batches (skips the
+        bitmap transfer); lengths (B,) int32 for short reads."""
         import jax
         import jax.numpy as jnp
-        from cornetto_tpu.kernels.minimizer import unpack_reads_jax
-        if not hasattr(self, "_pfn"):
-            core = self._fn
-
-            def packed_fn(btable, packed, nmask, panel):
-                reads = unpack_reads_jax(packed, nmask, L)
-                return core.__wrapped__(btable, reads, panel)
-            self._pfn = jax.jit(packed_fn)
-        return self._pfn(self._btable, jnp.asarray(packed),
-                         jnp.asarray(nmask), self._panel)
+        cache = getattr(self, "_pfns", None)
+        if cache is None:
+            cache = self._pfns = {}
+        if L not in cache:
+            idx, params = self._index, self._params
+            cache[L] = jax.jit(functools.partial(
+                decision_core_packed, L=L, k=idx.k, w=idx.w,
+                min_hits=params.min_hits, bin_size=params.bin_size,
+                bucket_shift=idx.bucket_shift,
+                use_pallas=self._use_pallas))
+        kw = {}
+        if lengths is not None:
+            kw["lengths"] = jnp.asarray(lengths)
+        return cache[L](self._btable, jnp.asarray(packed),
+                        None if nmask is None else jnp.asarray(nmask),
+                        self._panel, **kw)
 
 
 def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
@@ -190,9 +250,7 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
     jfn = jax.jit(fn)
 
     btable = jax.device_put(
-        np.stack([pack_table(index.bkeys[s], index.bvals[s])
-                  for s in range(ep)]),
-        NamedSharding(mesh, P("ep", None, None)))
+        index.btable, NamedSharding(mesh, P("ep", None, None)))
     panel = jax.device_put(np.asarray(panel_mask),
                            NamedSharding(mesh, P(None, None)))
 

@@ -2,10 +2,18 @@
 
 The TPU-native replacement for readfish's minimap2 index in the adaptive-
 sampling loop (SURVEY.md §7 item 7): minimizers of the draft are extracted
-host-side, sorted by hash, and partitioned into E equal hash-range shards
-(the expert-parallel axis of the decision mesh).  Each shard is a sorted
-(hash, contig, pos) table padded to a common static size so lookups are a
-single `searchsorted` per shard under jit.
+host-side, sorted by hash, and partitioned into E shards by the LOW
+log2(E) hash bits (the expert-parallel axis of the decision mesh).  Each
+shard is a sorted (hash, contig, pos) table padded to a common static size
+plus a bucketed device layout for one-gather lookups.
+
+Low bits, not hash ranges, on purpose: minimizer hashes are window MINIMA,
+so their values are strongly skewed toward small numbers — range-sharding
+on the top bits would put most of a genome in shard 0 and overload the low
+buckets (observed: the bucket directory grew 8x past its Poisson size
+before meeting the overflow bound).  The low bits of the mixed hash stay
+uniform regardless of the window-min skew, balancing both the shards and
+the bucket loads.
 """
 
 from dataclasses import dataclass
@@ -28,15 +36,23 @@ class MinimizerIndex:
     contig_lens: np.ndarray  # (C,) int64
     k: int
     w: int
-    # bucketed device layout: bucket b of shard e holds up to K entries
-    # whose hash satisfies ((h >> bucket_shift) & (2^B - 1)) == b.  A
-    # lookup is then exactly two row-gathers (keys row + values row) — the
-    # TPU-friendly alternative to binary search, whose ~20 dependent gather
-    # rounds dominate runtime.
-    bkeys: np.ndarray = None      # (E, 2^B, K) uint32, sentinel 0xFFFFFFFF
-    bvals: np.ndarray = None      # (E, 2^B, K, 2) int32 (contig, pos)
-    bucket_shift: int = 32
-    bucket_slots: int = 0
+    # bucketed device layout: bucket b of shard e holds up to `bucket_slots`
+    # entries whose hash satisfies ((h >> bucket_shift) & (2^B - 1)) == b,
+    # where bucket_shift = log2(E) (shard bits below, bucket bits next).
+    # A lookup is then exactly ONE 32-byte row-gather — the TPU-friendly
+    # alternative to binary search, whose ~20 dependent gather rounds
+    # dominate runtime.  Row layout (8 x int32):
+    #   w0 = fp0 | fp1<<16      w1 = fp2 | fp3<<16     (uint16 fingerprints)
+    #   w2 = ct0 | ct1<<16      w3 = ct2 | ct3<<16     (uint16 contig ids,
+    #                                                   0xFFFF = empty slot)
+    #   w4..w7 = pos0..pos3                            (int32 ref positions)
+    # The uint16 fingerprint fp = h >> (log2(E) + B) is EXACT, not
+    # probabilistic: shard + bucket pin the low log2(E)+B hash bits, so
+    # only the top 32-log2(E)-B bits carry information; the build forces
+    # B >= 16-log2(E) so they fit in 16 bits.
+    btable: np.ndarray = None     # (E, 2^B, 8) int32
+    bucket_shift: int = 0         # = log2(E)
+    bucket_slots: int = 4
     dropped_frac: float = 0.0     # overflow entries dropped at build
 
     @property
@@ -46,17 +62,19 @@ class MinimizerIndex:
 
 def build_index(contigs: Dict[str, str], n_shards: int = 1,
                 k: int = DEFAULT_K, w: int = DEFAULT_W,
-                repeat_cap: int = 256, dir_slots: int = 8) -> MinimizerIndex:
+                repeat_cap: int = 256, bucket_slots: int = 4
+                ) -> MinimizerIndex:
     """contigs: name -> sequence.  n_shards must be a power of two.
 
     The table keeps one entry per unique hash (first occurrence, matching
     the lookup's first-match semantics); hashes occurring more than
     `repeat_cap` times are dropped entirely (repeat masking).  A per-shard
-    bucket directory bounds device lookups to one directory gather plus a
-    `dir_slots`-wide scan.
+    bucket directory bounds device lookups to one 32-byte row-gather
+    holding `bucket_slots` fingerprinted entries.
     """
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
     names = list(contigs)
+    assert len(names) < 0xFFFF, "contig ids are uint16 in the device table"
     lens = np.array([len(contigs[n]) for n in names], dtype=np.int64)
     all_h = []
     all_c = []
@@ -80,13 +98,12 @@ def build_index(contigs: Dict[str, str], n_shards: int = 1,
         counts_per = np.diff(np.append(starts, len(h)))
         keep = starts[counts_per <= repeat_cap]
         h, c, p = h[keep], c[keep], p[keep]
-    # hash-range sharding: shard s owns [s * 2^32 / E, (s+1) * 2^32 / E)
+    # low-bit sharding: shard s owns hashes with (h & (E-1)) == s — the
+    # low bits stay uniform despite the window-min value skew (see module
+    # docstring), so shards are balanced
     log2e = int(n_shards).bit_length() - 1
-    shard_id = (h >> np.uint32(32 - log2e)) if log2e else \
-        np.zeros(len(h), dtype=np.uint32)
-    cut = np.searchsorted(shard_id, np.arange(1, n_shards), side="left")
-    cut = np.concatenate([[0], cut, [len(h)]])
-    counts = np.diff(cut).astype(np.int32)
+    shard_id = h & np.uint32(n_shards - 1)
+    counts = np.bincount(shard_id, minlength=n_shards).astype(np.int32)
     n_pad = max(int(counts.max()) if len(counts) else 1, 1)
     # round up so the padded table tiles the VPU lanes
     n_pad = -(-n_pad // 128) * 128
@@ -94,33 +111,41 @@ def build_index(contigs: Dict[str, str], n_shards: int = 1,
     C = np.full((n_shards, n_pad), -1, dtype=np.int32)
     P = np.zeros((n_shards, n_pad), dtype=np.int32)
     for s in range(n_shards):
-        a, b = cut[s], cut[s + 1]
-        H[s, :b - a] = h[a:b]
-        C[s, :b - a] = c[a:b]
-        P[s, :b - a] = p[a:b]
-    bkeys, bvals, bshift, bslots, dropped = _build_buckets(
-        H, C, P, counts, log2e, dir_slots)
+        sel = shard_id == s
+        ns = int(counts[s])
+        H[s, :ns] = h[sel]      # h sorted ascending -> per-shard sorted too
+        C[s, :ns] = c[sel]
+        P[s, :ns] = p[sel]
+    btable, bshift, dropped = _build_buckets(
+        H, C, P, counts, log2e, bucket_slots)
     return MinimizerIndex(H, C, P, counts, names, lens, k, w,
-                          bkeys=bkeys, bvals=bvals, bucket_shift=bshift,
-                          bucket_slots=bslots, dropped_frac=dropped)
+                          btable=btable, bucket_shift=bshift,
+                          bucket_slots=bucket_slots, dropped_frac=dropped)
 
 
 def _build_buckets(H: np.ndarray, C: np.ndarray, P: np.ndarray,
                    counts: np.ndarray, log2e: int, K: int,
                    max_overflow: float = 0.002):
-    """Pack each shard's (sorted, unique) hash table into a (2^B, K)
-    bucketed layout.  B grows until bucket overflow (entries beyond K,
-    dropped — extra repeat masking) is below `max_overflow`."""
+    """Pack each shard's (sorted, unique) hash table into the (2^B, 8)
+    int32 fingerprinted row layout (see MinimizerIndex).  Bucket id = hash
+    bits [log2E, log2E+B) — low bits, uniform under the window-min value
+    skew; fingerprint = the remaining TOP bits, h >> (log2E + B).  B grows
+    until bucket overflow (entries beyond K slots, dropped — extra repeat
+    masking) is below `max_overflow`; B is floored at 16 - log2(E) so the
+    fingerprint fits uint16 exactly."""
+    assert K <= 4, "row layout holds at most 4 slots"
     n_shards = H.shape[0]
     max_n = max(int(counts.max()) if len(counts) else 1, 1)
-    B = max(int(np.ceil(np.log2(max(max_n // max(K // 2, 1), 2)))), 3)
-    B = min(B, 32 - log2e)
+    B = max(int(np.ceil(np.log2(max(max_n // max(K // 2, 1), 2)))), 3,
+            16 - log2e)
+    B = min(B, 28, 32 - log2e)
     while True:
-        shift = 32 - log2e - B
+        fp_shift = log2e + B
+        assert 32 - fp_shift <= 16, (fp_shift, B, log2e)
         n_buckets = 1 << B
-        bkeys = np.full((n_shards, n_buckets, K), 0xFFFFFFFF,
-                        dtype=np.uint32)
-        bvals = np.zeros((n_shards, n_buckets, K, 2), dtype=np.int32)
+        fps = np.zeros((n_shards, n_buckets, 4), dtype=np.uint32)
+        cts = np.full((n_shards, n_buckets, 4), 0xFFFF, dtype=np.uint32)
+        pos = np.zeros((n_shards, n_buckets, 4), dtype=np.int32)
         dropped = 0
         total = 0
         for s in range(n_shards):
@@ -128,21 +153,36 @@ def _build_buckets(H: np.ndarray, C: np.ndarray, P: np.ndarray,
             if n == 0:
                 continue
             h = H[s, :n]
-            buckets = ((h >> np.uint32(shift))
+            buckets = ((h >> np.uint32(log2e))
                        & np.uint32(n_buckets - 1)).astype(np.int64)
-            start = np.searchsorted(buckets, np.arange(n_buckets))
-            rank = np.arange(n) - start[buckets]
+            # buckets are low bits: not monotone in sorted h — order by
+            # bucket (stably, keeping the lowest-hash-first slot order)
+            order = np.argsort(buckets, kind="stable")
+            hb = buckets[order]
+            start = np.searchsorted(hb, np.arange(n_buckets))
+            rank = np.arange(n) - start[hb]
             keep = rank < K
-            slot_b = buckets[keep]
+            slot_b = hb[keep]
             slot_k = rank[keep]
-            bkeys[s, slot_b, slot_k] = h[keep]
-            bvals[s, slot_b, slot_k, 0] = C[s, :n][keep]
-            bvals[s, slot_b, slot_k, 1] = P[s, :n][keep]
+            fps[s, slot_b, slot_k] = h[order][keep] >> np.uint32(fp_shift)
+            cts[s, slot_b, slot_k] = C[s, :n][order][keep] \
+                .astype(np.uint32)
+            pos[s, slot_b, slot_k] = P[s, :n][order][keep]
             dropped += int(n - keep.sum())
             total += n
         frac = dropped / total if total else 0.0
-        if frac <= max_overflow or shift <= 0 or B >= 28:
-            return bkeys, bvals, shift, K, frac
+        if frac <= max_overflow or B >= min(28, 32 - log2e):
+            btable = np.empty((n_shards, n_buckets, 8), dtype=np.int32)
+            btable[:, :, 0] = (fps[:, :, 0] | (fps[:, :, 1] << 16)) \
+                .view(np.int32)
+            btable[:, :, 1] = (fps[:, :, 2] | (fps[:, :, 3] << 16)) \
+                .view(np.int32)
+            btable[:, :, 2] = (cts[:, :, 0] | (cts[:, :, 1] << 16)) \
+                .view(np.int32)
+            btable[:, :, 3] = (cts[:, :, 2] | (cts[:, :, 3] << 16)) \
+                .view(np.int32)
+            btable[:, :, 4:] = pos
+            return btable, log2e, frac
         B += 1
 
 

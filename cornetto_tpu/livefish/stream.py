@@ -20,6 +20,7 @@ class ReadBatch:
     ids: List[str]
     codes: np.ndarray   # (B, L) uint8, padded with 4 (N)
     count: int          # valid rows
+    lengths: np.ndarray = None   # (B,) int32 true read lengths
 
 
 def batches_from_fastq(path: str, batch: int, read_len: int
@@ -28,19 +29,22 @@ def batches_from_fastq(path: str, batch: int, read_len: int
     chunk) into fixed (batch, read_len) blocks."""
     ids: List[str] = []
     codes = np.full((batch, read_len), 4, dtype=np.uint8)
+    lens = np.zeros(batch, dtype=np.int32)
     n = 0
     for rec in read_fastx(path):
         c = encode_seq(rec.seq[:read_len])
         codes[n, :len(c)] = c
+        lens[n] = len(c)
         ids.append(rec.name)
         n += 1
         if n == batch:
-            yield ReadBatch(ids, codes, n)
+            yield ReadBatch(ids, codes, n, lens)
             ids = []
             codes = np.full((batch, read_len), 4, dtype=np.uint8)
+            lens = np.zeros(batch, dtype=np.int32)
             n = 0
     if n:
-        yield ReadBatch(ids, codes, n)
+        yield ReadBatch(ids, codes, n, lens)
 
 
 class Prefetcher:
@@ -89,7 +93,14 @@ def stream_decisions(engine, fastq_path: str, batch: int = 4096,
     for rb in Prefetcher(batches_from_fastq(fastq_path, batch, read_len)):
         if use_packed:
             packed, nmask = pack_reads(rb.codes)
-            res = engine.decide_packed(packed, nmask, read_len)
+            # the N bitmap only needs to cross host->device when a read
+            # has an interior N (rare: basecallers emit pure ACGT); pad-
+            # to-batch tails are covered by per-read lengths (4 B/read)
+            if rb.lengths is not None and not _has_interior_n(rb):
+                res = engine.decide_packed(packed, None, read_len,
+                                           lengths=rb.lengths)
+            else:
+                res = engine.decide_packed(packed, nmask, read_len)
         else:
             res = engine.decide(rb.codes)
         if pending is not None:
@@ -100,6 +111,12 @@ def stream_decisions(engine, fastq_path: str, batch: int = 4096,
         total, accepted = _drain(pending[0], pending[1], out,
                                  total, accepted, engine)
     return total, accepted
+
+
+def _has_interior_n(rb: ReadBatch) -> bool:
+    pos = np.arange(rb.codes.shape[1], dtype=np.int32)
+    within = pos[None, :] < rb.lengths[:, None]
+    return bool(np.any((rb.codes >= 4) & within))
 
 
 def _drain(rb: ReadBatch, res, out, total, accepted, engine):

@@ -115,7 +115,7 @@ def main():
     idx = build_index(contigs)
     log("livefish index %.1fs (%d entries, %d buckets x %d)" % (
         time.time() - t0, int(idx.shard_counts.sum()),
-        idx.bkeys.shape[1], idx.bkeys.shape[2]))
+        idx.btable.shape[1], idx.bucket_slots))
     log("OK")
     return 0
 

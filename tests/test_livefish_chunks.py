@@ -1,0 +1,110 @@
+"""Chunk-by-chunk (read-until) decision engine + replay harness."""
+
+import numpy as np
+import pytest
+
+from cornetto_tpu.kernels.minimizer import encode_seq
+from cornetto_tpu.livefish.chunks import (PROCEED, STOP_RECEIVING, UNBLOCK,
+                                          ChunkDecisionEngine, ChunkEvent,
+                                          ChunkPolicy, replay_read_until)
+from cornetto_tpu.livefish.decide import SingleChipEngine
+from cornetto_tpu.livefish.index import build_index, build_panel_mask
+
+BASES = np.array(list("ACGT"))
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(42)
+    genome = {
+        "ctgA": "".join(BASES[rng.integers(0, 4, 60000)]),
+        "ctgB": "".join(BASES[rng.integers(0, 4, 40000)]),
+    }
+    panel_rows = [("ctgA", 20000, 40000)]
+    idx = build_index(genome, n_shards=1)
+    panel = build_panel_mask(idx, panel_rows)
+    eng = SingleChipEngine(idx, panel)
+    return genome, panel_rows, eng
+
+
+def test_incremental_decisions(setup):
+    genome, _, eng = setup
+    ce = ChunkDecisionEngine(eng, n_channels=8, chunk_len=200,
+                             policy=ChunkPolicy(max_chunks=4), batch=8)
+    # channel 0: read from the boring panel -> unblock on chunk 1
+    s = genome["ctgA"][25000:26600]
+    d = ce.process([ChunkEvent(0, "r0", s[:200])])
+    assert len(d) == 1 and d[0].action == UNBLOCK and d[0].n_chunks == 1
+    # channel 1: read from fun region -> stop_receiving
+    s1 = genome["ctgA"][45000:46600]
+    d = ce.process([ChunkEvent(1, "r1", s1[:200])])
+    assert d[0].action == STOP_RECEIVING
+    # decided channels are silent for further chunks of the same read
+    d = ce.process([ChunkEvent(0, "r0", s[200:400]),
+                    ChunkEvent(1, "r1", s1[200:400])])
+    assert d == []
+    # a NEW read on channel 0 resets state and decides again
+    d = ce.process([ChunkEvent(0, "r2", genome["ctgB"][100:300])])
+    assert d[0].action == STOP_RECEIVING and d[0].n_chunks == 1
+
+
+def test_random_reads_proceed_then_give_up(setup):
+    _, _, eng = setup
+    rng = np.random.default_rng(1)
+    junk = "".join(BASES[rng.integers(0, 4, 1000)])
+    ce = ChunkDecisionEngine(eng, n_channels=4, chunk_len=200,
+                             policy=ChunkPolicy(max_chunks=3,
+                                                no_map_action=UNBLOCK),
+                             batch=4)
+    acts = []
+    for t in range(3):
+        d = ce.process([ChunkEvent(0, "rx", junk[t * 200:(t + 1) * 200])])
+        acts.append(d[0].action if d else None)
+    assert acts[0] == PROCEED and acts[1] == PROCEED
+    assert acts[2] == UNBLOCK  # gave up at max_chunks with unblock policy
+
+
+def test_short_first_chunk_accumulates(setup):
+    """A chunk shorter than needed for confident mapping proceeds, then the
+    accumulated prefix decides."""
+    genome, _, eng = setup
+    # 24-bp chunks: one chunk holds a single minimizer window (m = 10
+    # k-mer positions) — far below min_hits, so the first decision MUST
+    # come from accumulated chunks
+    ce = ChunkDecisionEngine(eng, n_channels=2, chunk_len=24,
+                             policy=ChunkPolicy(max_chunks=8), batch=2)
+    s = genome["ctgA"][25000:25400]
+    acts = []
+    for t in range(8):
+        d = ce.process([ChunkEvent(0, "r0", s[t * 24:(t + 1) * 24])])
+        if d:
+            acts.append(d[0].action)
+            if d[0].action != PROCEED:
+                break
+    assert acts[-1] == UNBLOCK
+    assert len(acts) >= 2      # needed more than one 40-bp chunk
+
+
+def test_replay_metrics(setup):
+    genome, panel_rows, eng = setup
+    rng = np.random.default_rng(9)
+    reads = []
+    for i in range(20):   # panel-origin reads (should be unblocked)
+        s = int(rng.integers(21000, 38000 - 1600))
+        reads.append(("b%d" % i, genome["ctgA"][s:s + 1600], True))
+    for i in range(20):   # fun-region reads (should run to completion)
+        s = int(rng.integers(42000, 58000 - 1600))
+        reads.append(("f%d" % i, genome["ctgA"][s:s + 1600], False))
+    rng.shuffle(reads)
+    ce = ChunkDecisionEngine(eng, n_channels=8, chunk_len=200,
+                             policy=ChunkPolicy(max_chunks=4), batch=8)
+    m = replay_read_until(ce, reads, unblock_overhead=100)
+    assert m.n_reads == 40
+    assert m.true_reject == 20 and m.false_reject == 0
+    assert m.n_stop_receiving == 20
+    # adaptive sampling must actually save bases: unblocked reads cost
+    # ~1 chunk + overhead instead of 1600
+    assert m.bases_sequenced < m.bases_without_as
+    saved = 1 - m.bases_sequenced / m.bases_without_as
+    assert saved > 0.3
+    assert m.mean_decision_chunks <= 2.0

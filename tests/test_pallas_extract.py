@@ -1,0 +1,125 @@
+"""Fused Pallas minimizer-extraction kernel: bit-parity with the XLA path
+(kernels.minimizer.read_minimizers_jax) and with the host index build, plus
+the fingerprinted-lookup decision path on packed reads."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cornetto_tpu.kernels.minimizer import (encode_seq, pack_reads,
+                                            read_minimizers_jax,
+                                            unpack_reads_jax)
+from cornetto_tpu.kernels.pallas_extract import extract_minima_pallas
+
+
+@pytest.mark.parametrize("B,L,k,w", [
+    (64, 450, 15, 10),
+    (32, 300, 15, 10),
+    (16, 1024, 13, 8),
+    (8, 200, 15, 12),
+])
+def test_extract_parity(B, L, k, w):
+    rng = np.random.default_rng(7 + B)
+    reads = rng.integers(0, 4, size=(B, L)).astype(np.uint8)
+    reads[rng.random((B, L)) < 0.01] = 4      # sprinkle Ns
+    packed, nmask = pack_reads(reads)
+    codes = unpack_reads_jax(jnp.asarray(packed), jnp.asarray(nmask), L)
+    _, h_ref, v_ref = read_minimizers_jax(codes, k=k, w=w, want_pos=False)
+    h_p, v_p = extract_minima_pallas(jnp.asarray(packed),
+                                     jnp.asarray(nmask), L, k, w,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(h_ref), np.asarray(h_p))
+    np.testing.assert_array_equal(np.asarray(v_ref), np.asarray(v_p))
+
+
+def test_decide_packed_pallas_matches_xla():
+    """decision_core_packed(use_pallas) == decision_core on unpacked reads,
+    including the fingerprinted single-gather lookup."""
+    import functools
+    import jax
+    from cornetto_tpu.livefish.decide import (decision_core,
+                                              decision_core_packed)
+    from cornetto_tpu.livefish.index import build_index, build_panel_mask
+    rng = np.random.default_rng(11)
+    bases = np.array(list("ACGT"))
+    genome = {"c1": "".join(bases[rng.integers(0, 4, 30000)]),
+              "c2": "".join(bases[rng.integers(0, 4, 20000)])}
+    idx = build_index(genome, n_shards=1)
+    panel = build_panel_mask(idx, [("c1", 5000, 15000)])
+    L = 400
+    reads = np.zeros((32, L), dtype=np.uint8)
+    for i in range(16):
+        s = int(rng.integers(0, 30000 - L))
+        reads[i] = encode_seq(genome["c1"][s:s + L])
+    reads[16:] = rng.integers(0, 4, size=(16, L)).astype(np.uint8)
+    packed, nmask = pack_reads(reads)
+    kw = dict(k=idx.k, w=idx.w, min_hits=3, bin_size=1000,
+              bucket_shift=idx.bucket_shift)
+    ref = decision_core(jnp.asarray(idx.btable[0]), jnp.asarray(reads),
+                        jnp.asarray(panel), **kw)
+    got = decision_core_packed(jnp.asarray(idx.btable[0]),
+                               jnp.asarray(packed), jnp.asarray(nmask),
+                               jnp.asarray(panel), L=L, use_pallas=True,
+                               interpret=True, **kw)
+    for r, g in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(g))
+    # sanity: genome reads map, random mostly don't
+    assert int(np.asarray(ref[3])[:16].min()) >= 3
+
+
+def test_decide_packed_lengths_paths_agree():
+    """The three packed input variants (nmask bitmap / lengths / XLA
+    fallback with lengths) must produce identical decisions for short,
+    N-free reads."""
+    from cornetto_tpu.livefish.decide import decision_core_packed
+    from cornetto_tpu.livefish.index import build_index, build_panel_mask
+    rng = np.random.default_rng(21)
+    bases = np.array(list("ACGT"))
+    genome = {"c1": "".join(bases[rng.integers(0, 4, 20000)])}
+    idx = build_index(genome, n_shards=1)
+    panel = build_panel_mask(idx, [("c1", 2000, 9000)])
+    L = 300
+    rows = np.full((16, L), 4, dtype=np.uint8)
+    lens = rng.integers(60, L + 1, size=16).astype(np.int32)
+    for i in range(16):
+        s = int(rng.integers(0, 20000 - L))
+        rows[i, :lens[i]] = encode_seq(genome["c1"][s:s + int(lens[i])])
+    packed, nmask = pack_reads(rows)
+    kw = dict(L=L, k=idx.k, w=idx.w, min_hits=3, bin_size=1000,
+              bucket_shift=idx.bucket_shift)
+    bt, pn = jnp.asarray(idx.btable[0]), jnp.asarray(panel)
+    ref = decision_core_packed(bt, jnp.asarray(packed), jnp.asarray(nmask),
+                               pn, use_pallas=True, interpret=True, **kw)
+    got_len = decision_core_packed(bt, jnp.asarray(packed), None, pn,
+                                   use_pallas=True, interpret=True,
+                                   lengths=jnp.asarray(lens), **kw)
+    got_xla = decision_core_packed(bt, jnp.asarray(packed), None, pn,
+                                   use_pallas=False,
+                                   lengths=jnp.asarray(lens), **kw)
+    for r, a, b in zip(ref, got_len, got_xla):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(a))
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(b))
+
+
+def test_fingerprint_lookup_exact():
+    """Every indexed minimizer must be found by the fingerprint lookup with
+    its exact contig and position (zero drops at this scale)."""
+    from cornetto_tpu.livefish.decide import _lookup_votes
+    from cornetto_tpu.livefish.index import build_index
+    rng = np.random.default_rng(3)
+    bases = np.array(list("ACGT"))
+    genome = {"c1": "".join(bases[rng.integers(0, 4, 50000)])}
+    idx = build_index(genome, n_shards=1)
+    assert idx.dropped_frac == 0.0
+    n = int(idx.shard_counts[0])
+    h = idx.hashes[0, :n]
+    q = jnp.asarray(h[None, :])
+    votes, found, contig, refpos = _lookup_votes(
+        jnp.asarray(idx.btable[0]), idx.bucket_shift, q,
+        jnp.ones_like(q, dtype=bool), 1)
+    assert bool(np.asarray(found).all())
+    np.testing.assert_array_equal(np.asarray(contig)[0],
+                                  idx.contigs[0, :n])
+    np.testing.assert_array_equal(np.asarray(refpos)[0],
+                                  idx.positions[0, :n])
