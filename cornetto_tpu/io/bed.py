@@ -139,7 +139,7 @@ def _parse_bedgraph_pandas(data: bytes):
     return names, starts, ends, depths, bounds
 
 
-def _parse_bedgraph_numpy(path: str):
+def _parse_bedgraph_numpy(path: str, ranged: bool = False):
     """Parse a 4-column 1-bp bedgraph (native C kernel when available,
     pandas otherwise).
 
@@ -147,6 +147,11 @@ def _parse_bedgraph_numpy(path: str):
     arrays) with the reference's validation: 4 columns, end=start+1,
     per-contig positions incremental from the first row of the contig
     (reference: src/boringbits_main.c:204-287).
+
+    ranged=True is OUR extension for aligner-free approximate-panel
+    tracks (livefish.coverage emits run-length rows): contiguous
+    [start, end) ranges are expanded to per-base arrays instead of being
+    rejected.  The strict default stays byte-parity with the C binary.
     """
     parsed = _parse_bedgraph_native(path)
     if parsed is None:
@@ -156,7 +161,7 @@ def _parse_bedgraph_numpy(path: str):
             return [], [], []
         parsed = _parse_bedgraph_pandas(data)
     names, starts, ends, depths, bounds = parsed
-    if not np.all(starts + 1 == ends):
+    if not ranged and not np.all(starts + 1 == ends):
         bad = int(np.argmin(starts + 1 == ends))
         log.error("The depth files should have end=start+1. Found %d to %d"
                   % (starts[bad], ends[bad]))
@@ -166,6 +171,16 @@ def _parse_bedgraph_numpy(path: str):
     for k in range(len(names)):
         a, b = bounds[k], bounds[k + 1]
         st = starts[a:b]
+        if ranged:
+            en = ends[a:b]
+            if not np.all(en > st) or (b - a > 1
+                                       and not np.all(st[1:] == en[:-1])):
+                log.error("Ranged bedgraph rows must be contiguous "
+                          "[start, end) runs per contig")
+                sys.exit(1)
+            seg_starts.append(np.arange(st[0], en[-1], dtype=st.dtype))
+            seg_depths.append(np.repeat(depths[a:b], en - st))
+            continue
         if b - a > 1 and not np.all(np.diff(st) == 1):
             bad = int(np.argmin(np.diff(st) == 1))
             log.error("The depth files should be incremantal at one base "
@@ -177,12 +192,14 @@ def _parse_bedgraph_numpy(path: str):
     return names, seg_starts, seg_depths
 
 
-def read_bedgraph_pair(cov_total_path: str, cov_mq_path: str) -> DepthArrays:
+def read_bedgraph_pair(cov_total_path: str, cov_mq_path: str,
+                       ranged: bool = False) -> DepthArrays:
     """Load the two bedgraphs with the reference's lockstep validation and
     uint16 truncation (reference: src/boringbits_main.c:261-268 clamps depth
-    at 65535 with a warning; :293-294 rounds the global means)."""
-    n1, s1, d1 = _parse_bedgraph_numpy(cov_total_path)
-    n2, s2, d2 = _parse_bedgraph_numpy(cov_mq_path)
+    at 65535 with a warning; :293-294 rounds the global means).
+    ranged=True accepts run-length rows (aligner-free approx mode)."""
+    n1, s1, d1 = _parse_bedgraph_numpy(cov_total_path, ranged=ranged)
+    n2, s2, d2 = _parse_bedgraph_numpy(cov_mq_path, ranged=ranged)
     if n1 != n2 or len(s1) != len(s2):
         log.error("The two files are not in the same order")
         sys.exit(1)

@@ -53,7 +53,10 @@ def contig_edges(assbed: List[Row], edge: int = 200000) -> List[Row]:
 
 
 def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
-        backend: str = "jax") -> int:
+        backend: str = "jax", ranged_bedgraph: bool = False) -> int:
+    # ranged_bedgraph: accept run-length coverage tracks (the aligner-free
+    # approximate-panel mode of livefish.coverage) instead of the 1-bp
+    # samtools-depth format
     prefix = fasta_path[:-len(".fasta")] if fasta_path.endswith(".fasta") \
         else fasta_path
     bgtotal = prefix + ".cov-total.bg"
@@ -78,7 +81,8 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
     #1# interesting windows (noboringbits col4 != ".")
     opt = BoringbitsOptions(boring=False, high_cov_thresh=2.5,
                             low_cov_thresh=0.4, low_mq_cov_thresh=0.4,
-                            backend=backend)
+                            backend=backend,
+                            ranged_bedgraph=ranged_bedgraph)
     step1 = list(iter_fun_windows(bgtotal, bgmq20, opt))
     _write(os.path.join(tmp, "1_tmp.bed"), step1)
 
@@ -134,14 +138,20 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
 
 def main(argv) -> int:
     backend = "jax"
+    ranged = False
     args = []
     for a in argv:
         if a == "--backend=numpy":
             backend = "numpy"
+        elif a == "--ranged-bedgraph":
+            # aligner-free approx-panel mode: coverage tracks produced by
+            # `cornetto livefish cov` instead of minimap2+samtools depth
+            ranged = True
         else:
             args.append(a)
     if len(args) != 1:
         sys.stderr.write("1 argument required, %d provided. Usage: "
-                         "cornetto create-panel <assembly.fa>\n" % len(args))
+                         "cornetto create-panel <assembly.fa> "
+                         "[--ranged-bedgraph]\n" % len(args))
         return 1
-    return run(args[0], backend=backend)
+    return run(args[0], backend=backend, ranged_bedgraph=ranged)

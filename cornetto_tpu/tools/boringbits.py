@@ -28,12 +28,16 @@ class BoringbitsOptions:
     edge_len: int = 100000
     boring: bool = True
     backend: str = "jax"  # "jax" | "numpy"
+    # accept run-length bedgraph rows (aligner-free approx-panel tracks
+    # from livefish.coverage); the strict default is reference parity
+    ranged_bedgraph: bool = False
 
 
 def run(cov_total_path: str, cov_mq_path: str, opt: BoringbitsOptions,
         out=None) -> None:
     out = out or sys.stdout
-    depths = read_bedgraph_pair(cov_total_path, cov_mq_path)
+    depths = read_bedgraph_pair(cov_total_path, cov_mq_path,
+                                ranged=opt.ranged_bedgraph)
 
     sys.stderr.write("Number of contigs: %d\n" % len(depths.names))
     sys.stderr.write("Average depth: %d\n" % depths.mean_depth)
@@ -125,7 +129,8 @@ def iter_fun_windows(cov_total_path: str, cov_mq_path: str,
     >= min_ctg_len — i.e. the noboringbits rows whose 4th column is numeric,
     as selected by the create-cornetto pipeline's awk filter
     (reference: scripts/create-cornetto.sh:41)."""
-    depths = read_bedgraph_pair(cov_total_path, cov_mq_path)
+    depths = read_bedgraph_pair(cov_total_path, cov_mq_path,
+                                ranged=opt.ranged_bedgraph)
     stats_fn = (window_sum.window_stats_jax if opt.backend == "jax"
                 else window_sum.window_stats_numpy)
     thresh_low = c_round(float(np.float32(opt.low_cov_thresh)
