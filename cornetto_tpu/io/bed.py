@@ -7,6 +7,7 @@ the parse is vectorised with NumPy so a whole-genome load is IO-bound instead
 of fscanf-bound.
 """
 
+import os
 import sys
 from typing import Iterator, List, Tuple
 
@@ -192,12 +193,139 @@ def _parse_bedgraph_numpy(path: str, ranged: bool = False):
     return names, seg_starts, seg_depths
 
 
+def _load_depth_streaming(path: str):
+    """Whole-genome streaming load via the native bg_fill kernel: peak
+    memory 2 B/row (uint16 depths written directly, no int64 row arrays —
+    the difference between ~6 GB and ~72 GB for a 3 Gbp track).  Returns
+    (names, first_starts, depth_u16, row_bounds, clamped_sum,
+    (trunc_rows, trunc_vals, trunc_total)) or None if the native kernel is
+    unavailable."""
+    import ctypes
+    import mmap
+    import os as _os
+    from cornetto_tpu import native
+    lib = native.load("bedgraph_native", "bedgraph_native.c")
+    if lib is None or not hasattr(lib, "bg_fill"):
+        return None
+    lib.bg_fill.restype = ctypes.c_int64
+    size = _os.path.getsize(path)
+    empty = (np.empty(0, np.int64), np.empty(0, np.uint16),
+             np.empty(1, np.int64), 0, (np.empty(0, np.int64),
+                                        np.empty(0, np.int64), 0))
+    if size == 0:
+        return ([],) + empty
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    view = np.frombuffer(mm, dtype=np.uint8)
+    n_lines = int(np.count_nonzero(view == 10))
+    if mm[size - 1:size] != b"\n":
+        n_lines += 1
+    if n_lines == 0:
+        return ([],) + empty
+    depth = np.empty(n_lines, dtype=np.uint16)
+    ctg_cap = 1 << 20
+    tr_cap = 1 << 16
+    ctg_row = np.empty(ctg_cap, dtype=np.int64)
+    ctg_off = np.empty(ctg_cap, dtype=np.int64)
+    ctg_len = np.empty(ctg_cap, dtype=np.int64)
+    ctg_first = np.empty(ctg_cap, dtype=np.int64)
+    n_ctg = np.array([ctg_cap], dtype=np.int64)
+    ssum = np.zeros(1, dtype=np.int64)
+    tr_row = np.empty(tr_cap, dtype=np.int64)
+    tr_val = np.empty(tr_cap, dtype=np.int64)
+    n_tr = np.zeros(2, dtype=np.int64)
+    err = np.zeros(4, dtype=np.int64)
+    p = ctypes.POINTER(ctypes.c_int64)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    nthreads = min(os.cpu_count() or 1, 16)
+    rows = lib.bg_fill(
+        ctypes.c_void_p(view.ctypes.data), ctypes.c_int64(size),
+        ctypes.c_int(nthreads),
+        depth.ctypes.data_as(u16p),
+        ctg_row.ctypes.data_as(p), ctg_off.ctypes.data_as(p),
+        ctg_len.ctypes.data_as(p), ctg_first.ctypes.data_as(p),
+        n_ctg.ctypes.data_as(p), ssum.ctypes.data_as(p),
+        tr_row.ctypes.data_as(p), tr_val.ctypes.data_as(p),
+        ctypes.c_int64(tr_cap), n_tr.ctypes.data_as(p),
+        err.ctypes.data_as(p))
+    if rows == -2:
+        return None    # > 1M contigs: fall back to the generic path
+    if rows == -1:
+        kind = int(err[1])
+        if kind == 0:
+            log.error("The depth files should have 4 columns. Had fewer "
+                      "at row %d." % int(err[0]))
+        elif kind == 1:
+            log.error("The depth files should have end=start+1. Found %d "
+                      "to %d" % (int(err[2]), int(err[3])))
+        else:
+            log.error("The depth files should be incremantal at one base "
+                      "resolution. Found %d to %d"
+                      % (int(err[2]), int(err[3])))
+        sys.exit(1)
+    nc = int(n_ctg[0])
+    names = [bytes(mm[int(ctg_off[k]):int(ctg_off[k] + ctg_len[k])])
+             .decode() for k in range(nc)]
+    bounds = np.append(ctg_row[:nc], rows)
+    return (names, ctg_first[:nc].copy(), depth[:rows], bounds,
+            int(ssum[0]),
+            (tr_row[:int(n_tr[0])].copy(), tr_val[:int(n_tr[0])].copy(),
+             int(n_tr[1])))
+
+
+def _emit_trunc_warnings(name: str, first_start: int, row0: int,
+                         rows: np.ndarray, vals: np.ndarray) -> None:
+    for r, v in zip(rows, vals):
+        pos = int(first_start + (r - row0))
+        log.warning("The depth at %s:%d-%d was truncated to 65535. "
+                    "Found %d" % (name, pos, pos + 1, int(v)))
+
+
+def _pair_from_streaming(a, b) -> DepthArrays:
+    """Assemble DepthArrays from two _load_depth_streaming results with
+    the reference's lockstep validation and per-contig warning order."""
+    n1, f1, dep1, b1, sum1, tr1 = a
+    n2, f2, dep2, b2, sum2, tr2 = b
+    if n1 != n2 or len(n1) != len(n2) \
+            or not np.array_equal(np.diff(b1), np.diff(b2)) \
+            or not np.array_equal(f1, f2):
+        log.error("The two files are not in the same order")
+        sys.exit(1)
+    out = DepthArrays()
+    tr_rows1, tr_vals1, tot1 = tr1
+    tr_rows2, tr_vals2, tot2 = tr2
+    for k, name in enumerate(n1):
+        lo, hi = int(b1[k]), int(b1[k + 1])
+        for rows_, vals_, b_, f_ in ((tr_rows1, tr_vals1, b1, f1),
+                                     (tr_rows2, tr_vals2, b2, f2)):
+            i0, i1 = np.searchsorted(rows_, [lo, hi])
+            _emit_trunc_warnings(name, int(f_[k]), lo,
+                                 rows_[i0:i1], vals_[i0:i1])
+        out.names.append(name)
+        out.depth.append(dep1[lo:hi])
+        out.mq_depth.append(dep2[lo:hi])
+    if tot1 > len(tr_rows1) or tot2 > len(tr_rows2):
+        log.warning("%d additional depth truncations not listed"
+                    % ((tot1 - len(tr_rows1)) + (tot2 - len(tr_rows2))))
+    tot_len = int(b1[-1])
+    if tot_len:
+        from cornetto_tpu.utils.cformat import c_round
+        out.mean_depth = c_round(float(sum1) / float(tot_len))
+        out.mean_mq_depth = c_round(float(sum2) / float(tot_len))
+    return out
+
+
 def read_bedgraph_pair(cov_total_path: str, cov_mq_path: str,
                        ranged: bool = False) -> DepthArrays:
     """Load the two bedgraphs with the reference's lockstep validation and
     uint16 truncation (reference: src/boringbits_main.c:261-268 clamps depth
     at 65535 with a warning; :293-294 rounds the global means).
     ranged=True accepts run-length rows (aligner-free approx mode)."""
+    if not ranged:
+        a = _load_depth_streaming(cov_total_path)
+        b = _load_depth_streaming(cov_mq_path) if a is not None else None
+        if a is not None and b is not None:
+            return _pair_from_streaming(a, b)
     n1, s1, d1 = _parse_bedgraph_numpy(cov_total_path, ranged=ranged)
     n2, s2, d2 = _parse_bedgraph_numpy(cov_mq_path, ranged=ranged)
     if n1 != n2 or len(s1) != len(s2):

@@ -1,21 +1,36 @@
 """depth: per-base BAM depth.
 
 The reference's depth subcommand is a dead skeleton (its htslib processing
-loop is commented out — reference: src/depth_main.c:162-194); this is a
-working implementation producing either `samtools depth -aa`-style 3-column
-rows (1-based positions) or the protocol's awk-converted 1-bp bedgraph
-(reference: shitflow/create-launch.pbs.sh:66-67).
+loop is commented out — reference: src/depth_main.c:162-194, and its -b
+region option is parsed but unused via read_bed_regions,
+src/misc_p.c:19-79); this is a working implementation producing either
+`samtools depth -aa`-style 3-column rows (1-based positions) or the
+protocol's awk-converted 1-bp bedgraph (reference:
+shitflow/create-launch.pbs.sh:66-67).  With -b, only the listed regions
+are computed and printed — served by BAI ranged reads (io.bgzf), so only
+the BGZF blocks containing each region are inflated.
 """
 
 import sys
 
-from cornetto_tpu.io.bam import BamFile, depth_arrays
+from cornetto_tpu.io.bam import BamFile, depth_arrays, depth_region
 
 
 def run(bam_path: str, min_mapq: int = 0, bedgraph: bool = False,
-        include_dels: bool = False, out=None) -> None:
+        include_dels: bool = False, regions=None, out=None) -> None:
     out = out or sys.stdout
     bam = BamFile(bam_path)
+    if regions is not None:
+        for name, beg, end in regions:
+            d = depth_region(bam, name, beg, end, min_mapq=min_mapq,
+                             include_dels=include_dels)
+            for i, v in enumerate(d):
+                if bedgraph:
+                    out.write("%s\t%d\t%d\t%d\n"
+                              % (name, beg + i, beg + i + 1, v))
+                else:
+                    out.write("%s\t%d\t%d\n" % (name, beg + i + 1, v))
+        return
     depths = depth_arrays(bam, min_mapq=min_mapq, include_dels=include_dels)
     for name, d in zip(bam.ref_names, depths):
         if bedgraph:
@@ -32,15 +47,20 @@ def main(argv) -> int:
     min_mapq = 0
     bedgraph = False
     include_dels = False
+    regions = None
     fp_help = sys.stderr
     try:
         opts, args = _getopt.gnu_getopt(
-            argv, "Q:gJh", ["min-MQ=", "bedgraph", "include-dels", "help"])
+            argv, "Q:b:gJh",
+            ["min-MQ=", "regions=", "bedgraph", "include-dels", "help"])
     except _getopt.GetoptError:
         return 1
     for flag, val in opts:
         if flag in ("-Q", "--min-MQ"):
             min_mapq = c_atoi(val)
+        elif flag in ("-b", "--regions"):
+            from cornetto_tpu.io.bed import read_bed3
+            regions = list(read_bed3(val))
         elif flag in ("-g", "--bedgraph"):
             bedgraph = True
         elif flag in ("-J", "--include-dels"):
@@ -48,12 +68,17 @@ def main(argv) -> int:
         elif flag in ("-h", "--help"):
             fp_help = sys.stdout
     if len(args) != 1 or fp_help is sys.stdout:
-        fp_help.write("Usage: cornetto depth [-Q minMQ] [-g] [-J] <in.bam>\n")
+        fp_help.write("Usage: cornetto depth [-Q minMQ] [-b regions.bed] "
+                      "[-g] [-J] <in.bam>\n")
         fp_help.write("   -Q INT     minimum mapping quality [0]\n")
-        fp_help.write("   -g         output 1-bp bedgraph rows instead of samtools-depth rows\n")
-        fp_help.write("   -J         count deleted (D) reference positions as covered\n")
+        fp_help.write("   -b FILE    BED regions: compute depth only there "
+                      "(uses the .bai when present)\n")
+        fp_help.write("   -g         output 1-bp bedgraph rows instead of "
+                      "samtools-depth rows\n")
+        fp_help.write("   -J         count deleted (D) reference positions "
+                      "as covered\n")
         fp_help.write("   -h         help\n")
         return 0 if fp_help is sys.stdout else 1
     run(args[0], min_mapq=min_mapq, bedgraph=bedgraph,
-        include_dels=include_dels)
+        include_dels=include_dels, regions=regions)
     return 0
