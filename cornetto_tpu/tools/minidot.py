@@ -152,12 +152,17 @@ def main(argv) -> int:
     import getopt as _getopt
     from cornetto_tpu.utils.parsing import c_atof, c_atoi
     kw = {}
+    png_path = None
     try:
-        opts, args = _getopt.gnu_getopt(argv, "m:i:s:w:f:Ld")
+        opts, args = _getopt.gnu_getopt(argv, "m:i:s:w:f:Ld", ["png="])
     except _getopt.GetoptError:
         return 1
     for flag, val in opts:
-        if flag == "-m":
+        if flag == "--png":
+            # our extension over the reference (EPS-only): also rasterize
+            # the dotplot to a PNG via io.raster (no ghostscript needed)
+            png_path = val
+        elif flag == "-m":
             kw["min_match"] = c_atoi(val)
         elif flag == "-i":
             kw["min_iden"] = c_atof(val)
@@ -182,5 +187,14 @@ def main(argv) -> int:
         e.write("  -f INT      font size [%d]\n" % 11)
         e.write("  -L          don't print labels\n")
         e.write("  -D          don't try to put hits onto the diagonal\n")
+        e.write("  --png FILE  also rasterize the plot to a PNG\n")
         return 1
-    return run(args[0], **kw)
+    if png_path is None:
+        return run(args[0], **kw)
+    import io as _io
+    buf = _io.StringIO()
+    ret = run(args[0], out=buf, **kw)
+    sys.stdout.write(buf.getvalue())
+    from cornetto_tpu.io.raster import rasterize_eps, write_png
+    write_png(png_path, rasterize_eps(buf.getvalue()))
+    return ret
