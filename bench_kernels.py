@@ -95,7 +95,7 @@ def main() -> int:
             100 * (Nw * 4 * passes / dt / 1e9) / roofline, 1),
     }
 
-    # minimizer extraction
+    # minimizer extraction (XLA doubling path)
     B2, L2 = 16384, 450
     rcodes = jnp.asarray(rng.integers(0, 4, size=(B2, L2)).astype(np.uint8))
     f = jax.jit(lambda a: read_minimizers_jax(a)[1].sum())
@@ -103,6 +103,42 @@ def main() -> int:
     results["minimizer_extraction"] = {
         "Mreads_per_s": round(B2 / dt / 1e6, 3),
         "Gbases_per_s": round(B2 * L2 / dt / 1e9, 2),
+    }
+
+    # fused Pallas extraction (packed input, N-free fast path)
+    from cornetto_tpu.kernels.minimizer import pack_reads
+    from cornetto_tpu.kernels.pallas_extract import extract_minima_pallas
+    packed, _ = pack_reads(np.asarray(rcodes))
+    dpk = jnp.asarray(packed)
+    fp = jax.jit(lambda a: extract_minima_pallas(a, None, L2, 15, 10)[0]
+                 .astype(jnp.uint32).sum())
+    dtp = timeit(fp, dpk)
+    results["minimizer_extraction_pallas"] = {
+        "Mreads_per_s": round(B2 / dtp / 1e6, 3),
+        "Gbases_per_s": round(B2 * L2 / dtp / 1e9, 2),
+        "speedup_vs_xla": round(dt / dtp, 2),
+    }
+
+    # fingerprinted one-gather index lookup + vote tail
+    from cornetto_tpu.livefish.decide import _decide_from_minima
+    from cornetto_tpu.livefish.index import build_index, build_panel_mask
+    bases = np.array(list("ACGT"))
+    genome = {"c%d" % i: "".join(bases[rng.integers(0, 4, 2_000_000)])
+              for i in range(4)}
+    idx = build_index(genome, n_shards=1)
+    panel = build_panel_mask(idx, [("c0", 0, 1_000_000)])
+    hq = jnp.asarray(rng.integers(0, 2 ** 32, size=(B2, 43),
+                                  dtype=np.uint32))
+    vq = jnp.ones((B2, 43), dtype=bool)
+    bt = jnp.asarray(idx.btable[0])
+    pn = jnp.asarray(panel)
+    fl = jax.jit(lambda t, h, v, p: _decide_from_minima(
+        t, h, v, p, 3, 1000, idx.bucket_shift)[0].astype(jnp.int32).sum())
+    dtl = timeit(fl, bt, hq, vq, pn)
+    results["index_lookup_votes"] = {
+        "Mqueries_per_s": round(B2 * 43 / dtl / 1e6, 1),
+        "Mreads_per_s": round(B2 / dtl / 1e6, 3),
+        "table_MB": round(idx.btable.nbytes / 1e6, 1),
     }
 
     with open("BENCH_KERNELS.json", "w") as fjson:
