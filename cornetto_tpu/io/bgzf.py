@@ -17,7 +17,6 @@ the part of htslib the protocol actually needs:
 
 import struct
 import zlib
-from bisect import bisect_right
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Tuple
 

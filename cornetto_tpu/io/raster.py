@@ -11,7 +11,6 @@ quick-look raster; the EPS remains the publication artifact).
 
 import struct
 import zlib
-from typing import Tuple
 
 import numpy as np
 

@@ -19,7 +19,7 @@ regardless of how many channels fired — and host-side state is plain
 numpy per-channel arrays.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np

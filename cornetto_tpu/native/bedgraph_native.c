@@ -366,8 +366,6 @@ int64_t bg_fill(const char *data, int64_t len, int nthreads,
      * as cap >= total rows is not required — we bound by cap/T each and
      * re-check during the stitch */
     int64_t tr_per = tr_cap / T;
-    static int64_t scratch_guard;  /* silence unused in edge T=0 */
-    (void)scratch_guard;
     int64_t ctg_per = cap / T;
     for (t = 0; t < T; ++t) {
         ch[t].ctg_row = ctg_row + t * ctg_per;
