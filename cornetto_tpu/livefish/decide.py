@@ -259,4 +259,51 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
                                NamedSharding(mesh, P("dp", None)))
         return jfn(btable, reads, panel)
 
+    # packed fast path, same as SingleChipEngine.decide_packed: 2-bit
+    # codes (+ optional N bitmap or 4-byte lengths) are the only
+    # dp-sharded transfer; fused Pallas extraction on TPU
+    use_pallas = jax.default_backend() == "tpu"
+    pcache = {}
+
+    def decide_packed(packed, nmask, L, lengths=None):
+        has_nm = nmask is not None
+        has_ln = lengths is not None
+        key = (L, has_nm, has_ln)
+        if key not in pcache:
+            core = functools.partial(
+                decision_core_packed, L=L, k=index.k, w=index.w,
+                min_hits=params.min_hits, bin_size=params.bin_size,
+                bucket_shift=index.bucket_shift, ep_axis="ep",
+                use_pallas=use_pallas)
+            if has_nm:
+                def local(bt, pk, nm, pn):
+                    return core(bt[0], pk, nm, pn)
+                extra = (P("dp", None),)
+            elif has_ln:
+                def local(bt, pk, ln, pn):
+                    return core(bt[0], pk, None, pn, lengths=ln)
+                extra = (P("dp"),)
+            else:
+                def local(bt, pk, pn):
+                    return core(bt[0], pk, None, pn)
+                extra = ()
+            specs = (P("ep", None, None), P("dp", None)) + extra \
+                + (P(None, None),)
+            # reorder: panel is always the last arg
+            pf = shard_map(local, mesh=mesh, in_specs=specs,
+                           out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                           check_vma=False)
+            pcache[key] = jax.jit(pf)
+        args = [btable, jax.device_put(np.asarray(packed),
+                                       NamedSharding(mesh, P("dp", None)))]
+        if has_nm:
+            args.append(jax.device_put(np.asarray(nmask),
+                                       NamedSharding(mesh, P("dp", None))))
+        elif has_ln:
+            args.append(jax.device_put(np.asarray(lengths),
+                                       NamedSharding(mesh, P("dp"))))
+        args.append(panel)
+        return pcache[key](*args)
+
+    decide.decide_packed = decide_packed
     return decide

@@ -75,6 +75,36 @@ def test_decisions_ground_truth(genome, panel_rows):
     assert np.all(np.asarray(nh_rand) < 3)
 
 
+@pytest.mark.parametrize("dp,ep", [(2, 4), (4, 1)])
+def test_sharded_packed_matches_single(genome, panel_rows, dp, ep):
+    """The dp/ep-sharded packed fast path (2-bit codes + lengths only)
+    must equal the single-chip packed decisions."""
+    import jax
+    from jax.sharding import Mesh
+    from cornetto_tpu.kernels.minimizer import pack_reads
+    rng = np.random.default_rng(13)
+    devices = np.array(jax.devices()[:dp * ep]).reshape(dp, ep)
+    mesh = Mesh(devices, ("dp", "ep"))
+    idx1 = build_index(genome, n_shards=1)
+    idxE = build_index(genome, n_shards=ep)
+    panel = build_panel_mask(idx1, panel_rows)
+    eng1 = SingleChipEngine(idx1, panel)
+    engE = make_sharded_engine(mesh, idxE, panel)
+    L = 400
+    rows = np.full((16, L), 4, dtype=np.uint8)
+    lens = rng.integers(120, L + 1, size=16).astype(np.int32)
+    for i in range(16):
+        s = int(rng.integers(0, 59000 - L))
+        rows[i, :lens[i]] = encode_seq(
+            genome["ctgA"][s:s + int(lens[i])])
+    packed, nmask = pack_reads(rows)
+    for nm, ln in ((nmask, None), (None, lens), (None, None)):
+        r1 = eng1.decide_packed(packed, nm, L, lengths=ln)
+        rE = engE.decide_packed(packed, nm, L, lengths=ln)
+        for a, b in zip(r1, rE):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("dp,ep", [(2, 4), (4, 2), (1, 8), (8, 1)])
 def test_sharded_matches_single(genome, panel_rows, dp, ep):
     import jax
