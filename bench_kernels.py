@@ -17,7 +17,7 @@ def _sync(x):
     return np.asarray(x).ravel()[:1]
 
 
-def timeit(f, *a, n=5):
+def timeit(f, *a, n=20):
     r = f(*a)
     _sync(jax_leaves(r))
     t0 = time.perf_counter()

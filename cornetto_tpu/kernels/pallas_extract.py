@@ -31,12 +31,14 @@ def _rol(x, s: int):
     """Left-rotate along the lane (last) axis: out[i] = x[i+s] (wrapping).
 
     Wrapped lanes only ever land on positions >= m which are masked to the
-    0xFFFFFFFF sentinel afterwards, so the wraparound is harmless.
+    0xFFFFFFFF sentinel afterwards, so the wraparound is harmless.  Uses
+    Mosaic's native lane rotate (pltpu.roll takes non-negative shifts, so
+    left-by-s = right-by-(N-s)) instead of a two-slice concatenate.
     """
-    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
     if s == 0:
         return x
-    return jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
+    return pltpu.roll(x, x.shape[1] - s, 1)
 
 
 def _doubling_minimizers(codes_i32, valid0, k: int, w: int, m: int,

@@ -17,7 +17,7 @@ from cornetto_tpu.utils import logging as log
 
 
 def run(ref_fasta: str, asm_fasta: str, paf_path: str = None,
-        out_dir: str = ".") -> int:
+        out_dir: str = ".", png: bool = False) -> int:
     prefix = os.path.basename(asm_fasta)
     for suf in (".fa", ".fasta"):
         if prefix.endswith(suf):
@@ -43,17 +43,25 @@ def run(ref_fasta: str, asm_fasta: str, paf_path: str = None,
     eps_path = prefix + ".eps"
     with open(eps_path, "w") as f:
         minidot.run(fixed_paf, font_size=2, out=f)
+    if png:
+        # convenience raster (our extension; the reference emits EPS only)
+        from cornetto_tpu.io.raster import eps_to_png
+        eps_to_png(eps_path, prefix + ".png")
     return 0
 
 
 def main(argv) -> int:
     paf = None
+    png = False
     args = []
     i = 0
     while i < len(argv):
         if argv[i] == "--paf":
             paf = argv[i + 1]
             i += 2
+        elif argv[i] == "--png":
+            png = True
+            i += 1
         else:
             args.append(argv[i])
             i += 1
@@ -61,4 +69,4 @@ def main(argv) -> int:
         sys.stderr.write("Usage: cornetto minidotplot <ref.fasta> "
                          "<asm.fasta> [--paf aln.paf]\n")
         return 1
-    return run(args[0], args[1], paf_path=paf)
+    return run(args[0], args[1], paf_path=paf, png=png)
