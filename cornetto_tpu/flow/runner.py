@@ -122,6 +122,7 @@ def iteration_flow(workdir: str, fasta: str, reads_fastq: str,
     (reference: shitflow/create-launch.pbs.sh, create-core.pbs.sh,
     getstat.pbs.sh)."""
     flow = Flow("iteration", workdir, config)
+    aligner_free = bool((config or {}).get("aligner_free", False))
     prefix = os.path.basename(fasta)
     for suf in (".fa", ".fasta"):
         if prefix.endswith(suf):
@@ -140,6 +141,29 @@ def iteration_flow(workdir: str, fasta: str, reads_fastq: str,
         write_depth_bedgraph(bam, ctx.path(prefix + ".cov-mq20.bg"),
                              min_mapq=20)
 
+    def cov_tracks(ctx: FlowContext):
+        # aligner-free: coverage estimated from livefish index hits while
+        # deciding — replaces minimap2 realign + samtools depth entirely
+        # (reference: shitflow/create-launch.pbs.sh:61-67)
+        import numpy as np
+        from cornetto_tpu.io.fasta import read_fastx
+        from cornetto_tpu.livefish.coverage import (CoverageParams,
+                                                    CoverageTally,
+                                                    stream_coverage)
+        from cornetto_tpu.livefish.decide import SingleChipEngine
+        from cornetto_tpu.livefish.index import build_index
+        contigs = {r.name: r.seq for r in read_fastx(fasta)}
+        idx = build_index(contigs)
+        eng = SingleChipEngine(
+            idx, np.zeros((len(idx.contig_names), 128), dtype=bool))
+        tally = CoverageTally(idx, CoverageParams(
+            bin_size=int((config or {}).get("cov_bin_size", 1000))))
+        stream_coverage(eng, tally, reads_fastq,
+                        batch=int((config or {}).get("cov_batch", 4096)),
+                        read_len=int((config or {}).get("read_len", 450)))
+        tally.write_bedgraphs(ctx.path(prefix + ".cov-total.bg"),
+                              ctx.path(prefix + ".cov-mq20.bg"))
+
     def panel(ctx: FlowContext):
         from cornetto_tpu.pipelines import create_cornetto
         import shutil
@@ -153,7 +177,8 @@ def iteration_flow(workdir: str, fasta: str, reads_fastq: str,
         if not os.path.exists(dst_fa):
             shutil.copy(fasta, dst_fa)
         create_cornetto.run(dst_fa, out_dir=ctx.workdir,
-                            tmp_dir=ctx.path("tmp_create_cornetto"))
+                            tmp_dir=ctx.path("tmp_create_cornetto"),
+                            ranged_bedgraph=aligner_free)
 
     def telostats_step(ctx: FlowContext):
         from cornetto_tpu.pipelines import telostats
@@ -173,10 +198,16 @@ def iteration_flow(workdir: str, fasta: str, reads_fastq: str,
             idx, read_bed3(ctx.path(prefix + ".boringbits.bed")))
         save_index(ctx.path(prefix + ".livefish"), idx, panel_mask=panel)
 
-    flow.add("align", align, outputs=[prefix + ".bam"])
-    flow.add("depth", depth_tracks,
-             outputs=[prefix + ".cov-total.bg", prefix + ".cov-mq20.bg"],
-             after=["align"])
+    if aligner_free:
+        flow.add("depth", cov_tracks,
+                 outputs=[prefix + ".cov-total.bg",
+                          prefix + ".cov-mq20.bg"])
+    else:
+        flow.add("align", align, outputs=[prefix + ".bam"])
+        flow.add("depth", depth_tracks,
+                 outputs=[prefix + ".cov-total.bg",
+                          prefix + ".cov-mq20.bg"],
+                 after=["align"])
     flow.add("panel", panel,
              outputs=[prefix + ".boringbits.bed", prefix + ".boringbits.txt"],
              after=["depth"])

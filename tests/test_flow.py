@@ -40,6 +40,41 @@ def test_resume_skips_finished(tmp_path):
     assert calls == ["a", "b", "b"]
 
 
+def test_iteration_flow_aligner_free(tmp_path):
+    """Full iteration with config {"aligner_free": true}: depth tracks come
+    from livefish coverage tallies, the panel from ranged bedgraphs — no
+    minimap2, samtools, or BAM anywhere."""
+    rng = np.random.default_rng(23)
+    big = "".join(BASES[rng.integers(0, 4, 2_500_000)])
+    small = "".join(BASES[rng.integers(0, 4, 300_000)])
+    fasta = tmp_path / "draft.fasta"
+    fasta.write_text(">big\n%s\n>small\n%s\n" % (big, small))
+    (tmp_path / "draft.bp.p_ctg.lowQ.bed").write_text("")
+    # ~6x uniform reads over `big` only
+    L = 450
+    n_reads = 2_500_000 * 6 // L
+    reads = tmp_path / "reads.fastq"
+    with reads.open("w") as f:
+        for i in range(n_reads):
+            s = int(rng.integers(0, 2_500_000 - L))
+            f.write("@r%d\n%s\n+\n%s\n" % (i, big[s:s + L], "I" * L))
+    wd = str(tmp_path / "wd")
+    flow = iteration_flow(wd, str(fasta), str(reads),
+                          {"aligner_free": True, "cov_batch": 2048})
+    assert flow.run() == 0
+    rows = [l.split("\t") for l in
+            open(os.path.join(wd, "draft.boringbits.bed"))
+            .read().splitlines()]
+    assert rows and all(r[0] == "big" for r in rows)
+    assert sum(int(r[2]) - int(r[1]) for r in rows) > 1_000_000
+    assert os.path.exists(os.path.join(wd, "draft.livefish.npz"))
+    assert os.path.exists(os.path.join(wd, "draft.telostats.txt"))
+    # resume: a second run re-does nothing (all artifacts present)
+    flow2 = iteration_flow(wd, str(fasta), str(reads),
+                           {"aligner_free": True})
+    assert flow2.run() == 0
+
+
 def test_iteration_flow(tmp_path, monkeypatch):
     rng = np.random.default_rng(11)
     # a small "draft assembly" + fake coverage tracks + lowQ bed + reads

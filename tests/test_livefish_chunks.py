@@ -85,6 +85,33 @@ def test_short_first_chunk_accumulates(setup):
     assert len(acts) >= 2      # needed more than one 40-bp chunk
 
 
+def test_chunks_over_sharded_engine(setup):
+    """The chunk state machine runs unchanged over the dp/ep-sharded
+    engine (its decide_packed attribute) and agrees with the single-chip
+    engine's actions."""
+    import jax
+    from jax.sharding import Mesh
+    from cornetto_tpu.livefish.decide import make_sharded_engine
+    from cornetto_tpu.livefish.index import build_index, build_panel_mask
+    genome, panel_rows, eng1 = setup
+    devices = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devices, ("dp", "ep"))
+    idxE = build_index(genome, n_shards=2)
+    panel = build_panel_mask(idxE, panel_rows)
+    engE = make_sharded_engine(mesh, idxE, panel)
+    ce1 = ChunkDecisionEngine(eng1, n_channels=4, chunk_len=200, batch=4)
+    ceE = ChunkDecisionEngine(engE, n_channels=4, chunk_len=200, batch=4)
+    s_boring = genome["ctgA"][25000:25800]
+    s_fun = genome["ctgA"][45000:45800]
+    for t in range(4):
+        ev = [ChunkEvent(0, "rb", s_boring[t * 200:(t + 1) * 200]),
+              ChunkEvent(1, "rf", s_fun[t * 200:(t + 1) * 200])]
+        d1 = {(d.channel, d.action) for d in ce1.process(ev)}
+        dE = {(d.channel, d.action) for d in ceE.process(ev)}
+        assert d1 == dE
+    assert ce1._done[0] and ce1._done[1]
+
+
 def test_replay_metrics(setup):
     genome, panel_rows, eng = setup
     rng = np.random.default_rng(9)
