@@ -138,7 +138,8 @@ def _build_buckets(H: np.ndarray, C: np.ndarray, P: np.ndarray,
     max_n = max(int(counts.max()) if len(counts) else 1, 1)
     B = max(int(np.ceil(np.log2(max(max_n // max(K // 2, 1), 2)))), 3,
             16 - log2e)
-    B = min(B, 28, 32 - log2e)
+    # cap so fp_shift = log2e + B stays < 32 (a 32-bit shift is undefined)
+    B = min(B, 28, 31 - log2e)
     while True:
         fp_shift = log2e + B
         assert 32 - fp_shift <= 16, (fp_shift, B, log2e)
@@ -171,7 +172,7 @@ def _build_buckets(H: np.ndarray, C: np.ndarray, P: np.ndarray,
             dropped += int(n - keep.sum())
             total += n
         frac = dropped / total if total else 0.0
-        if frac <= max_overflow or B >= min(28, 32 - log2e):
+        if frac <= max_overflow or B >= min(28, 31 - log2e):
             btable = np.empty((n_shards, n_buckets, 8), dtype=np.int32)
             btable[:, :, 0] = (fps[:, :, 0] | (fps[:, :, 1] << 16)) \
                 .view(np.int32)
