@@ -44,16 +44,18 @@ def gen(workdir: str, mbp: float):
     t0 = time.time()
     import pandas as pd
     for suffix, jitter in ((".cov-total.bg", 0), (".cov-mq20.bg", 2)):
-        frames = []
-        for i, ln in enumerate(lens):
-            ln_eff = ln + (3600 if i % 3 == 0 else 0)
-            d = np.clip(30 + np.cumsum(rng.integers(-1, 2, ln_eff)) // 3
-                        - rng.integers(0, jitter + 1, ln_eff), 0, None)
-            frames.append(pd.DataFrame({
-                "c": "ptg%06dl" % i, "s": np.arange(ln_eff),
-                "e": np.arange(1, ln_eff + 1), "d": d}))
-        pd.concat(frames).to_csv(os.path.join(workdir, "asm" + suffix),
-                                 sep="\t", header=False, index=False)
+        path = os.path.join(workdir, "asm" + suffix)
+        # per-contig append: a Gbp-scale whole-genome concat would need
+        # tens of GB of DataFrame
+        with open(path, "w") as fh:
+            for i, ln in enumerate(lens):
+                ln_eff = ln + (3600 if i % 3 == 0 else 0)
+                d = np.clip(30 + np.cumsum(rng.integers(-1, 2, ln_eff)) // 3
+                            - rng.integers(0, jitter + 1, ln_eff), 0, None)
+                pd.DataFrame({
+                    "c": "ptg%06dl" % i, "s": np.arange(ln_eff),
+                    "e": np.arange(1, ln_eff + 1), "d": d}).to_csv(
+                        fh, sep="\t", header=False, index=False)
     log("bedgraphs in %.0fs" % (time.time() - t0))
     with open(os.path.join(workdir, "asm.bp.p_ctg.lowQ.bed"), "w") as f:
         for i, ln in enumerate(lens):
