@@ -35,6 +35,8 @@ def print_usage(fp) -> int:
     fp.write("       recreate-panel  recreate-cornetto pipeline\n")
     fp.write("       telostats       telomere statistics pipeline\n")
     fp.write("       livefish        real-time adaptive-sampling decision engine\n")
+    fp.write("       depth           per-base BAM depth (working; the reference's is a skeleton)\n")
+    fp.write("       bammerge        merge position-sorted BAMs (+ .bai)\n")
     fp.write("\n")
     fp.write("       --help, -h      print this help message\n")
     fp.write("       --version, -V   print version information\n")
@@ -97,6 +99,9 @@ def main(argv=None) -> int:
     elif cmd == "depth":
         from cornetto_tpu.tools import depth
         ret = depth.main(rest)
+    elif cmd == "bammerge":
+        from cornetto_tpu.tools import depth
+        ret = depth.merge_main(rest)
     elif cmd == "create-panel":
         from cornetto_tpu.pipelines import create_cornetto
         ret = create_cornetto.main(rest)

@@ -41,6 +41,24 @@ def run(bam_path: str, min_mapq: int = 0, bedgraph: bool = False,
                               for i, v in enumerate(d)))
 
 
+def merge_main(argv) -> int:
+    """bammerge: k-way merge of position-sorted BAMs (+ .bai) — the
+    `samtools merge && samtools index` step of multi-flowcell runs
+    (reference: shitflow/ postcall batch wrappers call samtools; the
+    reference binary itself cannot write alignments)."""
+    from cornetto_tpu.io.bam import merge_sorted_bams
+    noindex = "--no-index" in argv
+    args = [a for a in argv if a != "--no-index"]
+    if len(args) < 3 or args[0] in ("-h", "--help"):
+        fp = sys.stdout if args and args[0] in ("-h", "--help") \
+            else sys.stderr
+        fp.write("Usage: cornetto bammerge [--no-index] <out.bam> "
+                 "<in1.bam> <in2.bam> [...]\n")
+        return 0 if fp is sys.stdout else 1
+    merge_sorted_bams(args[1:], args[0], build_index=not noindex)
+    return 0
+
+
 def main(argv) -> int:
     import getopt as _getopt
     from cornetto_tpu.utils.parsing import c_atoi
