@@ -181,7 +181,14 @@ def extract_minima_pallas(packed, nmask, L: int, k: int, w: int,
     B = packed.shape[0]
     m = L - k + 1
     nwin = m // w
-    tb = min(tile, B)
+    # scoped VMEM holds ~14 live (tb, Lp) int32 intermediates (pyramid +
+    # window-min stages); cap the row tile so tb*Lp stays at the proven
+    # 256x512 footprint — long accumulated prefixes (the chunk engine's
+    # max_len) otherwise stack-OOM the 16 MB scoped-vmem limit
+    Lp_est = -(-L // _LANE) * _LANE
+    cap = max(8, (256 * 512) // Lp_est)
+    cap = 1 << (cap.bit_length() - 1)          # power of two
+    tb = min(tile, B, cap)
     while B % tb:
         tb //= 2
     assert tb >= 1

@@ -74,12 +74,23 @@ class ChunkDecisionEngine:
     """
 
     def __init__(self, engine, n_channels: int, chunk_len: int,
-                 policy: ChunkPolicy = ChunkPolicy(), batch: int = 512):
+                 policy: ChunkPolicy = ChunkPolicy(), batch: int = 512,
+                 pipeline_depth: int = 0):
         self.engine = engine
         self.policy = policy
         self.chunk_len = chunk_len
         self.batch = batch
         self.max_len = chunk_len * policy.max_chunks
+        # pipeline_depth device batches stay in flight before the host
+        # blocks on a readback: jax dispatch is async, so at depth >= 1 the
+        # host thread returns immediately and decisions surface up to
+        # `depth` ticks later.  This hides decide latency when the host
+        # multiplexes other work between ticks (coverage folding, IO); in
+        # an offline replay it instead ADDS work (lagged channels keep
+        # re-deciding), measured 1.13s -> 1.65s on 1500 reads on a v5e
+        # chip — so the default stays 0 (decide synchronously every tick).
+        self.pipeline_depth = pipeline_depth
+        self._inflight: List[tuple] = []
         C = n_channels
         self._buf = np.full((C, self.max_len), 4, dtype=np.uint8)
         self._blen = np.zeros(C, dtype=np.int64)
@@ -114,24 +125,44 @@ class ChunkDecisionEngine:
                 self._blen[c] = n + take
             self._chunks[c] += 1
             pending.append(c)
-        out: List[ChunkDecision] = []
         for i in range(0, len(pending), self.batch):
-            out.extend(self._decide(pending[i:i + self.batch]))
+            self._submit(pending[i:i + self.batch])
+        out: List[ChunkDecision] = []
+        while len(self._inflight) > self.pipeline_depth:
+            out.extend(self._resolve(self._inflight.pop(0)))
         return out
 
-    def _decide(self, chans: List[int]) -> List[ChunkDecision]:
+    def drain(self) -> List[ChunkDecision]:
+        """Resolve every in-flight batch (end of run / idle tick)."""
+        out: List[ChunkDecision] = []
+        while self._inflight:
+            out.extend(self._resolve(self._inflight.pop(0)))
+        return out
+
+    def _submit(self, chans: List[int]) -> None:
         rows = np.full((self.batch, self.max_len), 4, dtype=np.uint8)
         rows[:len(chans)] = self._buf[chans]
         packed, nmask = pack_reads(rows)
-        d, best, est, nhits = (np.asarray(x) for x in
-                               self.engine.decide_packed(packed, nmask,
-                                                         self.max_len))
+        res = self.engine.decide_packed(packed, nmask, self.max_len)
+        # snapshot read ids + chunk counts: by the time this batch is
+        # harvested the channel may have moved on to a new read (decision
+        # arrives too late — dropped, as on a real sequencer) or received
+        # more chunks (decision still valid for its prefix)
+        self._inflight.append((list(chans), res,
+                               self._chunks[chans].copy(),
+                               [self._read_id[c] for c in chans]))
+
+    def _resolve(self, entry) -> List[ChunkDecision]:
+        chans, res, chunks_at, rids = entry
+        d, best, est, nhits = (np.asarray(x) for x in res)
         out: List[ChunkDecision] = []
         for i, c in enumerate(chans):
+            if self._read_id[c] != rids[i] or self._done[c]:
+                continue   # read gone or already decided by an older batch
             mapped = int(nhits[i]) >= self.policy.min_hits
             if mapped:
                 action = UNBLOCK if d[i] == 0 else STOP_RECEIVING
-            elif self._chunks[c] >= self.policy.max_chunks:
+            elif chunks_at[i] >= self.policy.max_chunks:
                 action = self.policy.no_map_action
                 if action == PROCEED:
                     # terminal proceed: stop re-deciding, let it run out
@@ -141,8 +172,8 @@ class ChunkDecisionEngine:
             if action != PROCEED:
                 self._done[c] = True
             out.append(ChunkDecision(
-                channel=c, read_id=self._read_id[c], action=action,
-                n_chunks=int(self._chunks[c]),
+                channel=c, read_id=rids[i], action=action,
+                n_chunks=int(chunks_at[i]),
                 contig=int(best[i]) if mapped else -1,
                 pos=int(est[i]) if mapped else -1,
                 nhits=int(nhits[i])))
@@ -203,7 +234,12 @@ def replay_read_until(engine: ChunkDecisionEngine,
                 events.append(ChunkEvent(c, rid,
                                          seq[off:off + chunk_len]))
             st[3] = off + chunk_len
-        for dec in engine.process(events):
+        decs = engine.process(events)
+        if not events:
+            # nothing new this tick: block on whatever is still in flight
+            # so lagging decisions can land before their reads run out
+            decs += engine.drain()
+        for dec in decs:
             st = active.get(dec.channel)
             if st is None or st[0] != dec.read_id:
                 continue
@@ -234,6 +270,7 @@ def replay_read_until(engine: ChunkDecisionEngine,
                 m.bases_without_as += len(seq)
                 m.n_reads += 1
                 load(c)
+    engine.drain()   # late decisions have no read left to act on
     if decision_chunks:
         m.mean_decision_chunks = float(np.mean(decision_chunks))
     return m

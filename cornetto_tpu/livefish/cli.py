@@ -107,12 +107,13 @@ def _cmd_replay(argv) -> int:
     from cornetto_tpu.livefish.decide import SingleChipEngine
     from cornetto_tpu.livefish.index import build_panel_mask
     opts, args = _getopt.gnu_getopt(
-        argv, "c:n:m:p:b:u:",
+        argv, "c:n:m:p:b:u:d:",
         ["chunk=", "channels=", "max-chunks=", "panel=", "batch=",
-         "unblock-overhead="])
+         "unblock-overhead=", "pipeline-depth="])
     chunk_len, channels, max_chunks, batch = 450, 512, 4, 512
     panel_path = None
     overhead = 500
+    pipeline_depth = 0
     for flag, val in opts:
         if flag in ("-c", "--chunk"):
             chunk_len = int(val)
@@ -126,11 +127,13 @@ def _cmd_replay(argv) -> int:
             batch = int(val)
         elif flag in ("-u", "--unblock-overhead"):
             overhead = int(val)
+        elif flag in ("-d", "--pipeline-depth"):
+            pipeline_depth = int(val)
     if len(args) != 2:
         sys.stderr.write("Usage: cornetto livefish replay <index> "
                          "<reads.fastq> [-c chunk] [-n channels] "
                          "[-m max_chunks] [-p panel.bed] "
-                         "[-u unblock_overhead]\n")
+                         "[-u unblock_overhead] [-d pipeline_depth]\n")
         return 1
     idx, panel, _ = _load_index_or_die(args[0])
     if panel_path:
@@ -140,7 +143,7 @@ def _cmd_replay(argv) -> int:
     eng = ChunkDecisionEngine(SingleChipEngine(idx, panel),
                               n_channels=channels, chunk_len=chunk_len,
                               policy=ChunkPolicy(max_chunks=max_chunks),
-                              batch=batch)
+                              batch=batch, pipeline_depth=pipeline_depth)
     reads = [(rec.name, rec.seq, False) for rec in read_fastx(args[1])]
     m = replay_read_until(eng, reads, unblock_overhead=overhead)
     out = sys.stdout

@@ -135,3 +135,66 @@ def test_replay_metrics(setup):
     saved = 1 - m.bases_sequenced / m.bases_without_as
     assert saved > 0.3
     assert m.mean_decision_chunks <= 2.0
+
+
+def test_pipelined_decisions_lag_then_land(setup):
+    """pipeline_depth=2: decisions surface two ticks late (the host never
+    blocks while <=2 batches are in flight) but are identical to the sync
+    engine's, and drain() flushes the tail."""
+    genome, _, eng = setup
+    ce = ChunkDecisionEngine(eng, n_channels=8, chunk_len=200,
+                             policy=ChunkPolicy(max_chunks=6), batch=8,
+                             pipeline_depth=2)
+    s = genome["ctgA"][25000:26600]       # panel read -> unblock
+    d1 = ce.process([ChunkEvent(0, "r0", s[:200])])
+    assert d1 == [] and len(ce._inflight) == 1
+    d2 = ce.process([ChunkEvent(0, "r0", s[200:400])])
+    assert d2 == [] and len(ce._inflight) == 2
+    # third tick exceeds the depth: the FIRST batch's decision lands now
+    d3 = ce.process([ChunkEvent(0, "r0", s[400:600])])
+    assert [x.action for x in d3] == [UNBLOCK]
+    assert d3[0].n_chunks == 1            # decided on the chunk-1 prefix
+    # the two newer in-flight batches re-decide the same read: suppressed
+    assert ce.drain() == []
+    assert ce._inflight == []
+
+
+def test_pipelined_late_decision_dropped_on_new_read(setup):
+    """A decision that resolves after its channel moved to a new read is
+    dropped (matches a real sequencer, where the unblock would no-op)."""
+    genome, _, eng = setup
+    ce = ChunkDecisionEngine(eng, n_channels=4, chunk_len=200, batch=4,
+                             pipeline_depth=4)
+    s = genome["ctgA"][25000:25800]
+    assert ce.process([ChunkEvent(0, "old", s[:200])]) == []
+    # channel 0 starts a NEW read before the old decision ever resolved
+    assert ce.process([ChunkEvent(0, "new", genome["ctgB"][100:300])]) == []
+    acts = {d.read_id: d.action for d in ce.drain()}
+    assert "old" not in acts              # stale decision dropped
+    assert acts == {"new": STOP_RECEIVING}
+
+
+def test_replay_pipelined_matches_sync_savings(setup):
+    """Replay with a 2-deep pipeline keeps rejecting correctly; savings
+    stay in the same band as the synchronous engine (decisions cost up to
+    pipeline_depth extra chunks of sequencing)."""
+    genome, panel_rows, eng = setup
+    rng = np.random.default_rng(9)
+    reads = []
+    for i in range(20):
+        s = int(rng.integers(21000, 38000 - 1600))
+        reads.append(("b%d" % i, genome["ctgA"][s:s + 1600], True))
+    for i in range(20):
+        s = int(rng.integers(42000, 58000 - 1600))
+        reads.append(("f%d" % i, genome["ctgA"][s:s + 1600], False))
+    rng.shuffle(reads)
+    ce = ChunkDecisionEngine(eng, n_channels=8, chunk_len=200,
+                             policy=ChunkPolicy(max_chunks=4), batch=8,
+                             pipeline_depth=2)
+    m = replay_read_until(ce, reads, unblock_overhead=100)
+    assert m.n_reads == 40
+    assert m.false_reject == 0
+    assert m.true_reject >= 18            # latency may let a tail read slip
+    assert m.bases_sequenced < m.bases_without_as
+    saved = 1 - m.bases_sequenced / m.bases_without_as
+    assert saved > 0.2
