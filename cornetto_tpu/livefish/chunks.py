@@ -143,7 +143,9 @@ class ChunkDecisionEngine:
         rows = np.full((self.batch, self.max_len), 4, dtype=np.uint8)
         rows[:len(chans)] = self._buf[chans]
         packed, nmask = pack_reads(rows)
-        res = self.engine.decide_packed(packed, nmask, self.max_len)
+        decide = getattr(self.engine, "decide_packed_fused",
+                         self.engine.decide_packed)
+        res = decide(packed, nmask, self.max_len)
         # snapshot read ids + chunk counts: by the time this batch is
         # harvested the channel may have moved on to a new read (decision
         # arrives too late — dropped, as on a real sequencer) or received
@@ -154,7 +156,10 @@ class ChunkDecisionEngine:
 
     def _resolve(self, entry) -> List[ChunkDecision]:
         chans, res, chunks_at, rids = entry
-        d, best, est, nhits = (np.asarray(x) for x in res)
+        if isinstance(res, tuple):
+            d, best, est, nhits = (np.asarray(x) for x in res)
+        else:
+            d, best, est, nhits = np.asarray(res)   # fused (4, B) int32
         out: List[ChunkDecision] = []
         for i, c in enumerate(chans):
             if self._read_id[c] != rids[i] or self._done[c]:
