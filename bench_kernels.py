@@ -7,6 +7,7 @@ single-line benchmark stays in bench.py.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -139,6 +140,55 @@ def main() -> int:
         "Mqueries_per_s": round(B2 * 43 / dtl / 1e6, 1),
         "Mreads_per_s": round(B2 / dtl / 1e6, 3),
         "table_MB": round(idx.btable.nbytes / 1e6, 1),
+    }
+
+    # native host-side FASTQ->packed parser + end-to-end stream (the
+    # production `livefish run` path: parse thread + device decide with
+    # one fused readback + writer thread)
+    import tempfile
+    from cornetto_tpu.livefish.decide import SingleChipEngine
+    from cornetto_tpu.native.fastq_pack import iter_packed_batches
+    from cornetto_tpu.livefish.stream import stream_decisions
+    NR, LR = 60_000, 450
+    g0 = genome["c0"]
+    fq = os.path.join(tempfile.gettempdir(), "bench_stream_reads.fq")
+    if not os.path.exists(fq):
+        with open(fq, "w") as f:
+            qual = "I" * LR
+            for i in range(NR):
+                if i % 2 == 0:
+                    s = int(rng.integers(0, len(g0) - LR))
+                    seq = g0[s:s + LR]
+                else:
+                    seq = "".join(bases[rng.integers(0, 4, LR)])
+                f.write("@read_%d\n%s\n+\n%s\n" % (i, seq, qual))
+    for pb in iter_packed_batches(fq, 16384, LR):    # warm page cache + .so
+        pass
+    t0 = time.perf_counter()
+    nn = 0
+    for pb in iter_packed_batches(fq, 16384, LR):
+        nn += pb.count
+    dth = time.perf_counter() - t0
+    results["fastq_pack_native_host"] = {
+        "Mreads_per_s": round(nn / dth / 1e6, 3),
+        "MB_per_s": round(os.path.getsize(fq) / dth / 1e6, 1),
+    }
+
+    eng = SingleChipEngine(idx, panel)
+    eng.contig_names = idx.contig_names
+
+    class _Sink:
+        def write(self, s):
+            pass
+
+    sink = _Sink()
+    stream_decisions(eng, fq, batch=16384, read_len=LR, out=sink)  # compile
+    t0 = time.perf_counter()
+    tot, _ = stream_decisions(eng, fq, batch=16384, read_len=LR, out=sink)
+    dte = time.perf_counter() - t0
+    results["e2e_stream_decisions"] = {
+        "reads_per_s": round(tot / dte, 1),
+        "note": "FASTQ on disk -> TSV rows; tunnel transfer-bound",
     }
 
     with open("BENCH_KERNELS.json", "w") as fjson:
