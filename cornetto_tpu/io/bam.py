@@ -435,22 +435,13 @@ def write_depth_bedgraph(bam: BamFile, out_path: str, min_mapq: int = 0,
                          ref_order: List[str] = None) -> None:
     """Write the awk-converted `samtools depth -aa` bedgraph
     (chrom, pos-1, pos, depth rows for every base of every reference)."""
+    from cornetto_tpu.native import depth_write as dw
     depth = depth_arrays(bam, min_mapq=min_mapq, include_dels=include_dels)
     order = range(len(bam.ref_names))
     if ref_order is not None:
         name_to_i = {n: i for i, n in enumerate(bam.ref_names)}
         order = [name_to_i[n] for n in ref_order]
-    with open(out_path, "w") as out:
-        for i in order:
-            name = bam.ref_names[i]
-            d = depth[i]
-            starts = np.arange(len(d), dtype=np.int64)
-            cols = np.empty((len(d), 3), dtype=np.int64)
-            cols[:, 0] = starts
-            cols[:, 1] = starts + 1
-            cols[:, 2] = d
-            lines = "\n".join(
-                "%s\t%d\t%d\t%d" % (name, s, e, v)
-                for s, e, v in cols) if len(d) else ""
-            if lines:
-                out.write(lines + "\n")
+    open(out_path, "w").close()   # truncate; rows append per contig
+    for i in order:
+        dw.write_rows(out_path, bam.ref_names[i], depth[i],
+                      mode=dw.PER_BASE_BEDGRAPH, append=True)

@@ -16,6 +16,37 @@ import sys
 from cornetto_tpu.io.bam import BamFile, depth_arrays, depth_region
 
 
+def _emit(name: str, d, beg: int, out, bedgraph: bool) -> None:
+    """One contig's rows.  Real file objects (incl. stdout) go through the
+    native row writer via /proc/self/fd — Python `%`-formatting runs
+    ~0.5 us/row, ~25 min for a 3.1 Gbp genome; StringIO and other
+    fileno-less sinks fall back to the Python formatter."""
+    from cornetto_tpu.native import depth_write as dw
+    mode = dw.PER_BASE_BEDGRAPH if bedgraph else dw.SAMTOOLS_DEPTH
+    fd = None
+    try:
+        fd = out.fileno()
+    except Exception:
+        pass
+    if fd is not None and dw._get() is not None:
+        out.flush()
+        dw.write_rows("/proc/self/fd/%d" % fd, name, d, mode, beg,
+                      append=True)
+        try:
+            if out.seekable():
+                out.seek(0, 2)   # realign the stream with the appended rows
+        except Exception:
+            pass
+        return
+    if bedgraph:
+        out.write("".join("%s\t%d\t%d\t%d\n"
+                          % (name, beg + i, beg + i + 1, v)
+                          for i, v in enumerate(d)))
+    else:
+        out.write("".join("%s\t%d\t%d\n" % (name, beg + i + 1, v)
+                          for i, v in enumerate(d)))
+
+
 def run(bam_path: str, min_mapq: int = 0, bedgraph: bool = False,
         include_dels: bool = False, regions=None, out=None) -> None:
     out = out or sys.stdout
@@ -24,21 +55,11 @@ def run(bam_path: str, min_mapq: int = 0, bedgraph: bool = False,
         for name, beg, end in regions:
             d = depth_region(bam, name, beg, end, min_mapq=min_mapq,
                              include_dels=include_dels)
-            for i, v in enumerate(d):
-                if bedgraph:
-                    out.write("%s\t%d\t%d\t%d\n"
-                              % (name, beg + i, beg + i + 1, v))
-                else:
-                    out.write("%s\t%d\t%d\n" % (name, beg + i + 1, v))
+            _emit(name, d, beg, out, bedgraph)
         return
     depths = depth_arrays(bam, min_mapq=min_mapq, include_dels=include_dels)
     for name, d in zip(bam.ref_names, depths):
-        if bedgraph:
-            out.write("".join("%s\t%d\t%d\t%d\n" % (name, i, i + 1, v)
-                              for i, v in enumerate(d)))
-        else:
-            out.write("".join("%s\t%d\t%d\n" % (name, i + 1, v)
-                              for i, v in enumerate(d)))
+        _emit(name, d, 0, out, bedgraph)
 
 
 def merge_main(argv) -> int:

@@ -156,3 +156,44 @@ def test_write_record_fields_roundtrip(tmp_path):
     dJ = depth_region(bam, "c1", 0, 1100, include_dels=True)
     assert dJ[152] == 1
     assert depth_region(bam, "c2", 40, 80)[2] == 1
+
+
+def test_depth_write_native_matches_python(tmp_path):
+    from cornetto_tpu.native import depth_write as dw
+    rng = np.random.default_rng(3)
+    depth = rng.integers(0, 70000, size=5000).astype(np.int64)
+    depth[100:200] = 7   # a run for mode 2
+    for mode in (dw.PER_BASE_BEDGRAPH, dw.SAMTOOLS_DEPTH,
+                 dw.RUNLEN_BEDGRAPH):
+        a = tmp_path / ("n%d.txt" % mode)
+        b = tmp_path / ("p%d.txt" % mode)
+        rn = dw.write_rows(str(a), "ctgX", depth, mode=mode, start0=17)
+        rp = dw._write_rows_py(str(b), "ctgX", depth, mode, 17, False)
+        assert rn == rp
+        assert a.read_bytes() == b.read_bytes()
+    # append mode stacks contigs
+    out = tmp_path / "multi.bg"
+    dw.write_rows(str(out), "c1", depth[:10], mode=0)
+    dw.write_rows(str(out), "c2", depth[:5], mode=0, append=True)
+    assert len(out.read_text().splitlines()) == 15
+
+
+def test_depth_tool_native_stdout_matches_stringio(tmp_path):
+    """The depth CLI's native /proc/self/fd fast path (real file) emits
+    exactly what the Python formatter path (StringIO) emits."""
+    import io as _io
+    from cornetto_tpu.tools.depth import run
+    sio = _io.StringIO()
+    run(EXAMPLE, bedgraph=True, regions=[("chr22", 19979000, 19980500)],
+        out=sio)
+    p = tmp_path / "native.bg"
+    with open(p, "w") as f:
+        run(EXAMPLE, bedgraph=True,
+            regions=[("chr22", 19979000, 19980500)], out=f)
+    assert p.read_text() == sio.getvalue()
+    sio2 = _io.StringIO()
+    run(EXAMPLE, regions=[("chr22", 19979000, 19980500)], out=sio2)
+    p2 = tmp_path / "native.txt"
+    with open(p2, "w") as f:
+        run(EXAMPLE, regions=[("chr22", 19979000, 19980500)], out=f)
+    assert p2.read_text() == sio2.getvalue()
