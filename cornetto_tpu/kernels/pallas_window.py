@@ -64,7 +64,7 @@ def sliding_window_sum_pallas(x, window: int, chunk: int = 65536,
     out = pl.pallas_call(
         kernel,
         grid=(n // chunk,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)],
         out_specs=pl.BlockSpec((1, chunk), lambda j: (0, j)),
         out_shape=jax.ShapeDtypeStruct((1, n), x.dtype),
         scratch_shapes=[

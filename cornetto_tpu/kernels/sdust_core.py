@@ -1,11 +1,14 @@
 """Symmetric DUST low-complexity masking (SDUST, Morgulis et al. 2006).
 
-Host reference implementation of the algorithm with the exact operational
-semantics of the vendored lh3/sdust in the reference
-(reference: src/sdust/sdust.c:66-160): W-triplet ring window with running
-duplicate-pair counts rw/rv, the cv*10 > 2T eviction rule, perfect-interval
-enumeration kept sorted by descending start with the r/l-ratio insertion
-test, and interval merging as windows slide.
+ATTRIBUTION: this module is a Python port of lh3/sdust (MIT license) as
+vendored in the reference (reference: src/sdust/sdust.c:66-160), kept as
+the bit-exact oracle for the golden suite.  The W-triplet ring window with
+running duplicate-pair counts rw/rv, the cv*10 > 2T eviction rule,
+perfect-interval enumeration kept sorted by descending start with the
+r/l-ratio insertion test, and interval merging as windows slide all follow
+that C code closely — the quirky DP's byte-exact output depends on its
+precise ordering, so this is a derived transcription, not an independent
+re-derivation.
 
 This sequential DP is the one kernel in the suite without a trivially
 parallel form (SURVEY.md §7 hard-parts list); the device strategy is vmap

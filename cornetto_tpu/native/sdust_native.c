@@ -1,11 +1,14 @@
 /* Native symmetric-DUST (SDUST, Morgulis et al. 2006) low-complexity
  * masker for the host tool path.
  *
- * This is an independent implementation of the algorithm as specified by
- * the behavior of the vendored masker in the reference toolkit
- * (reference: src/sdust/sdust.c semantics; see kernels/sdust_core.py for
- * the operational description) — flat ring buffer + fixed tables instead of
- * the reference's kdq/kvec structures.  Exposed via ctypes.
+ * ATTRIBUTION: this is a derived port of lh3/sdust (MIT license) as
+ * vendored in the reference toolkit (reference: src/sdust/sdust.c:66-160).
+ * The control flow, state variables (rv/rw/L/cv/cw, max/new r/l) and the
+ * perfect-interval bookkeeping deliberately mirror that code because the
+ * byte-exact golden outputs depend on its precise eviction/insertion
+ * order; only the containers differ (flat ring buffer + fixed tables
+ * instead of kdq/kvec, no arena allocator).  It is NOT an independent
+ * re-derivation.  Exposed via ctypes.
  *
  * Build: cc -O3 -shared -fPIC sdust_native.c -o _sdust_native.so
  */
