@@ -17,7 +17,6 @@ import sys
 from typing import List
 
 from cornetto_tpu.intervals import algebra
-from cornetto_tpu.io.paf import read_paf_minidot
 from cornetto_tpu.pipelines.create_cornetto import (_write, contig_edges,
                                                     extend_funbits)
 from cornetto_tpu.tools import bigenough as bigenough_tool
@@ -26,18 +25,46 @@ from cornetto_tpu.utils import logging as log
 Row = algebra.Row
 
 
-def hap_funbits(paf_path: str, assbed: List[Row]) -> List[Row]:
+def _hap_txt_rows(paf_path: str) -> List[List[str]]:
+    """`cut -f 1-10 <paf> | sort -k7,7nr -nk8,8`: first 10 PAF columns,
+    col7 (target length) numeric desc, col8 (target start) numeric asc,
+    GNU sort's last-resort whole-line byte compare on ties
+    (reference: scripts/create-hapnetto.sh:44)."""
+    rows = []
+    with open(paf_path) as f:
+        for line in f:
+            p = line.rstrip("\n").split("\t")[:10]
+            rows.append(p)
+    def key(p):
+        line = ("\t".join(p) + "\n").encode()
+        return (-int(p[6]), int(p[7]), line)
+    rows.sort(key=key)
+    return rows
+
+
+def hap_funbits(paf_path: str, assbed: List[Row], tmp: str = None,
+                hap: str = None) -> List[Row]:
     """Per-hap funbits: target-space gaps not covered by hap contigs plus
     500-bp flanks around hap-contig projection corners
-    (reference: scripts/create-hapnetto.sh:40-62)."""
-    # group hits per hap contig; per contig merge (target, ts, te) within 1 Mb
+    (reference: scripts/create-hapnetto.sh:40-62).  When ``tmp``/``hap`` are
+    given, also writes the reference's intermediate files (hapX.txt,
+    hapX_tmp.bed, hapX_tmp2.bed) byte-identically."""
+    txt_rows = _hap_txt_rows(paf_path)
+    if tmp:
+        with open(os.path.join(tmp, hap + ".txt"), "w") as f:
+            for p in txt_rows:
+                f.write("\t".join(p) + "\n")
+    # group hits per hap contig (in hapX.txt order, like the awk filter);
+    # per contig merge (target, ts, te) within 1 Mb
     per_ctg = {}
-    for r in read_paf_minidot(paf_path):
-        per_ctg.setdefault(r.qn, []).append((r.tn, r.ts, r.te))
+    for p in txt_rows:
+        per_ctg.setdefault(p[0], []).append((p[5], int(p[7]), int(p[8])))
     hap_tmp: List[Row] = []
-    for ctg in sorted(per_ctg):  # sort -u order over contig names
+    for ctg in sorted(per_ctg):  # `sort -u` order over contig names
         rows = algebra.bed_sort(per_ctg[ctg])
         hap_tmp.extend(algebra.merge(rows, 1000000))
+    if tmp:
+        _write(os.path.join(tmp, hap + "_tmp.bed"), hap_tmp)
     # fun1: uncovered gaps on the primary
     fun = algebra.subtract(assbed, hap_tmp)
     # fun2: 500-bp corner flanks
@@ -46,6 +73,8 @@ def hap_funbits(paf_path: str, assbed: List[Row]) -> List[Row]:
             fun.append((c, s - 500, s + 500))
         if e >= 500:
             fun.append((c, e - 500, e + 500))
+    if tmp:
+        _write(os.path.join(tmp, hap + "_tmp2.bed"), fun)
     return algebra.merge(algebra.bed_sort(fun), 0)
 
 
@@ -87,9 +116,17 @@ def run(ass_name: str, hap1_paf: str = None, hap2_paf: str = None,
         else:
             hap2_paf = paf
 
-    f1 = hap_funbits(hap1_paf, assbed)
+    # keep the alignment artifacts under tmp like the reference
+    # (reference: scripts/create-hapnetto.sh:36-37)
+    base = os.path.basename(ass_name)
+    for hap, paf in (("hap1", hap1_paf), ("hap2", hap2_paf)):
+        dst = os.path.join(tmp, "%s_%s_to_asm.paf" % (base, hap))
+        if os.path.abspath(paf) != os.path.abspath(dst):
+            shutil.copyfile(paf, dst)
+
+    f1 = hap_funbits(hap1_paf, assbed, tmp=tmp, hap="hap1")
     _write(os.path.join(tmp, "hap1_funbits.bed"), f1)
-    f2 = hap_funbits(hap2_paf, assbed)
+    f2 = hap_funbits(hap2_paf, assbed, tmp=tmp, hap="hap2")
     _write(os.path.join(tmp, "hap2_funbits.bed"), f2)
     hap_union = algebra.merge(algebra.bed_sort(f1 + f2), 0)
     _write(os.path.join(tmp, "hap1_hap2_funbits.bed"), hap_union)
@@ -105,11 +142,14 @@ def run(ass_name: str, hap1_paf: str = None, hap2_paf: str = None,
     funbits_merged = algebra.merge(algebra.bed_sort(funbits), 200000)
     _write(os.path.join(tmp, "funbits_merged.bed"), funbits_merged)
     boring_tmp = algebra.subtract(assbed, funbits_merged)
+    _write(os.path.join(tmp, "boringbits_tmp.bed"), boring_tmp)
+    # NB: 800 kb in BOTH hapnetto variants (recreate-cornetto itself uses
+    # 1 Mb; reference: scripts/recreate-hapnetto.sh:89 vs recreate-cornetto.sh:48)
     short = [r for r in assbed if r[2] - r[1] < 800000]
+    _write(os.path.join(tmp, "short.bed"), short)
     boring = algebra.subtract(boring_tmp, short)
     _write(os.path.join(tmp, "boringbits.bed"), boring)
 
-    base = os.path.basename(ass_name)
     out_bed = os.path.join(out_dir, base + "_dip.boringbits.bed")
     out_csv = os.path.join(out_dir, base + "_dip.boringbits.txt")
     with open(out_bed, "w") as fbed:

@@ -6,7 +6,6 @@ merge -d 100 -> intersect with 50-kb contig-end windows ->
 1/2/>2 telomeres.
 """
 
-import io
 import os
 import sys
 from collections import Counter
