@@ -37,9 +37,11 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
 
     btable: (2^B, 8) int32 rows of [fp pairs | contig pairs | 4 positions]
     (layout in livefish.index.MinimizerIndex; the uint16 fingerprint
-    comparison is exact because shard+bucket bits pin the rest of the key).
-    Returns (votes (b, C) int32, hit (b, M) bool, hit_contig (b, M) int32,
-    hit_refpos (b, M) int32).
+    comparison is exact because shard+bucket bits pin the rest of the key —
+    callers on a sharded mesh must therefore mask q_valid down to the
+    queries this shard OWNS, see _decide_from_minima).
+    Returns per-contig stats: (votes (b, C) int32 hit counts,
+    numer (b, C) int32 sums of reference positions over those hits).
     """
     import jax.numpy as jnp
     b, M = q_hash.shape
@@ -73,37 +75,47 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
     contig = contig.reshape(b, M)
     refpos = refpos.reshape(b, M)
     if n_contigs <= 64:
-        # dense one-hot reduction beats scatter-add for small contig counts
+        # dense one-hot reduction beats scatter-add for small contig
+        # counts; the (b, M, C) intermediates fuse into the reductions
         oh = (contig[:, :, None]
-              == jnp.arange(n_contigs, dtype=jnp.int32)[None, None, :])
-        votes = jnp.sum(oh & found[:, :, None], axis=1, dtype=jnp.int32)
+              == jnp.arange(n_contigs, dtype=jnp.int32)[None, None, :]) \
+            & found[:, :, None]
+        votes = jnp.sum(oh, axis=1, dtype=jnp.int32)
+        numer = jnp.sum(oh * refpos[:, :, None], axis=1, dtype=jnp.int32)
     else:
         rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
-                                (b, M))
+                                (b, M)).ravel()
+        cols = contig.ravel()
         votes = jnp.zeros((b, n_contigs), dtype=jnp.int32)
-        votes = votes.at[rows.ravel(), contig.ravel()].add(
-            found.ravel().astype(jnp.int32))
-    return votes, found, contig, refpos
+        votes = votes.at[rows, cols].add(found.ravel().astype(jnp.int32))
+        numer = jnp.zeros((b, n_contigs), dtype=jnp.int32)
+        numer = numer.at[rows, cols].add(
+            (found * refpos).ravel().astype(jnp.int32))
+    return votes, numer
 
 
 def decision_core(btable, reads, panel_mask,
                   k: int, w: int, min_hits: int, bin_size: int,
-                  bucket_shift: int, ep_axis: str = None):
+                  bucket_shift: int, ep_axis: str = None, ep_size: int = 1):
     """Single-device (or per-shard, when ep_axis is set) decision step.
 
     btable: (2^B, 8) int32 fingerprinted lookup rows (livefish.index).
-    reads: (b, L) uint8 codes.  Returns (decision (b,) int8 — 1 accept /
-    0 reject, best_contig (b,) int32, est_pos (b,) int32, nhits (b,) int32).
+    reads: (b, L) uint8 codes — with ep_axis set this is the device's OWN
+    (dp, ep) slice; extraction runs once per read, not once per ep shard.
+    Returns (decision (b,) int8 — 1 accept / 0 reject, best_contig (b,)
+    int32, est_pos (b,) int32, nhits (b,) int32).
     """
     pos, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
     return _decide_from_minima(btable, h, valid, panel_mask,
-                               min_hits, bin_size, bucket_shift, ep_axis)
+                               min_hits, bin_size, bucket_shift, ep_axis,
+                               ep_size)
 
 
 def decision_core_packed(btable, packed, nmask, panel_mask,
                          L: int, k: int, w: int, min_hits: int,
                          bin_size: int, bucket_shift: int,
-                         ep_axis: str = None, use_pallas: bool = True,
+                         ep_axis: str = None, ep_size: int = 1,
+                         use_pallas: bool = True,
                          interpret: bool = False, lengths=None):
     """Decision step on 2-bit packed reads (~2.6x less host->device
     traffic; nmask=None for N-free batches — the ONT norm — drops the
@@ -135,28 +147,44 @@ def decision_core_packed(btable, packed, nmask, panel_mask,
         reads = unpack_reads_jax(packed, nmask, L)
         _, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
     return _decide_from_minima(btable, h, valid, panel_mask,
-                               min_hits, bin_size, bucket_shift, ep_axis)
+                               min_hits, bin_size, bucket_shift, ep_axis,
+                               ep_size)
 
 
 def _decide_from_minima(btable, h, valid, panel_mask, min_hits: int,
                         bin_size: int, bucket_shift: int,
-                        ep_axis: str = None):
+                        ep_axis: str = None, ep_size: int = 1):
+    """Votes + decision from extracted minimizer hashes.
+
+    With ep_axis set, this is the extract-once sharded protocol (SURVEY.md
+    §7 item 7): the caller extracts minimizers from ITS OWN (dp, ep) read
+    slice only (no replicated extraction); hashes are all_gather'd within
+    the ep group, each shard masks the gathered queries down to the hash
+    range it owns (low log2(ep) bits — which also makes the fingerprint
+    comparison exact across shards), looks them up locally, and the
+    per-contig stats return to each read's owner via ONE psum_scatter
+    (half the wire bytes of the old full-psum of votes).
+    """
     import jax
     import jax.numpy as jnp
     n_contigs = panel_mask.shape[0]
-    votes, found, contig, refpos = _lookup_votes(
-        btable, bucket_shift, h, valid, n_contigs)
     if ep_axis is not None:
-        votes = jax.lax.psum(votes, ep_axis)
+        h = jax.lax.all_gather(h, ep_axis, axis=0, tiled=True)
+        valid = jax.lax.all_gather(valid, ep_axis, axis=0, tiled=True)
+        my = jax.lax.axis_index(ep_axis).astype(jnp.uint32)
+        own = (h & jnp.uint32(ep_size - 1)) == my
+        valid = valid & own
+    votes, numer = _lookup_votes(btable, bucket_shift, h, valid, n_contigs)
+    if ep_axis is not None:
+        stats = jnp.concatenate([votes, numer], axis=1)
+        stats = jax.lax.psum_scatter(stats, ep_axis, scatter_dimension=0,
+                                     tiled=True)
+        votes = stats[:, :n_contigs]
+        numer = stats[:, n_contigs:]
     best = jnp.argmax(votes, axis=1).astype(jnp.int32)
     nhits = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
-    hob = found & (contig == best[:, None])
-    numer = jnp.sum(jnp.where(hob, refpos, 0), axis=1)
-    denom = jnp.sum(hob.astype(jnp.int32), axis=1)
-    if ep_axis is not None:
-        numer = jax.lax.psum(numer, ep_axis)
-        denom = jax.lax.psum(denom, ep_axis)
-    est = numer // jnp.maximum(denom, 1)
+    numer_b = jnp.take_along_axis(numer, best[:, None], axis=1)[:, 0]
+    est = numer_b // jnp.maximum(nhits, 1)
     mapped = nhits >= min_hits
     est_bin = jnp.clip(est // bin_size, 0, panel_mask.shape[1] - 1)
     in_panel = panel_mask[best, est_bin]
@@ -259,31 +287,34 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
                         params: DecisionParams = DecisionParams()):
     """shard_map'd decision step over a ("dp", "ep") mesh.
 
-    The returned callable takes reads (B, L) uint8 (B divisible by dp size)
-    and returns decisions (B,) int8.  Index tables are sharded over ep,
-    reads over dp, panel replicated; vote merge is a psum over ep.
+    The returned callable takes reads (B, L) uint8 (B divisible by
+    dp*ep) and returns decisions (B,) int8.  Index tables are sharded over
+    ep; reads are sharded over BOTH axes so minimizer extraction runs
+    exactly once per read (SURVEY.md §7 item 7 — round 1 replicated the
+    extraction ep times); gathered hashes are masked to each shard's owned
+    hash range and per-contig stats ride ONE psum_scatter back to the
+    read's owner (see _decide_from_minima).
     """
     import jax
-    import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
     from jax import shard_map
 
     ep = mesh.shape["ep"]
     assert index.n_shards == ep, (index.n_shards, ep)
+    RSPEC = P(("dp", "ep"))
 
     def local_step(btable, reads, panel):
-        d, b, e, n = decision_core(btable[0], reads, panel,
-                                   k=index.k, w=index.w,
-                                   min_hits=params.min_hits,
-                                   bin_size=params.bin_size,
-                                   bucket_shift=index.bucket_shift,
-                                   ep_axis="ep")
-        return d, b, e, n
+        return decision_core(btable[0], reads, panel,
+                             k=index.k, w=index.w,
+                             min_hits=params.min_hits,
+                             bin_size=params.bin_size,
+                             bucket_shift=index.bucket_shift,
+                             ep_axis="ep", ep_size=ep)
 
     fn = shard_map(
         local_step, mesh=mesh,
-        in_specs=(P("ep", None, None), P("dp", None), P(None, None)),
-        out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+        in_specs=(P("ep", None, None), P(("dp", "ep"), None), P(None, None)),
+        out_specs=(RSPEC,) * 4,
         check_vma=False)
     jfn = jax.jit(fn)
 
@@ -294,12 +325,12 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
 
     def decide(reads):
         reads = jax.device_put(np.asarray(reads),
-                               NamedSharding(mesh, P("dp", None)))
+                               NamedSharding(mesh, P(("dp", "ep"), None)))
         return jfn(btable, reads, panel)
 
     # packed fast path, same as SingleChipEngine.decide_packed: 2-bit
     # codes (+ optional N bitmap or 4-byte lengths) are the only
-    # dp-sharded transfer; fused Pallas extraction on TPU
+    # batch-sharded transfer; fused Pallas extraction on TPU
     use_pallas = jax.default_backend() == "tpu"
     pcache = {}
 
@@ -311,35 +342,37 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
             core = functools.partial(
                 decision_core_packed, L=L, k=index.k, w=index.w,
                 min_hits=params.min_hits, bin_size=params.bin_size,
-                bucket_shift=index.bucket_shift, ep_axis="ep",
+                bucket_shift=index.bucket_shift, ep_axis="ep", ep_size=ep,
                 use_pallas=use_pallas)
             if has_nm:
                 def local(bt, pk, nm, pn):
                     return core(bt[0], pk, nm, pn)
-                extra = (P("dp", None),)
+                extra = (P(("dp", "ep"), None),)
             elif has_ln:
                 def local(bt, pk, ln, pn):
                     return core(bt[0], pk, None, pn, lengths=ln)
-                extra = (P("dp"),)
+                extra = (RSPEC,)
             else:
                 def local(bt, pk, pn):
                     return core(bt[0], pk, None, pn)
                 extra = ()
-            specs = (P("ep", None, None), P("dp", None)) + extra \
+            specs = (P("ep", None, None), P(("dp", "ep"), None)) + extra \
                 + (P(None, None),)
             # reorder: panel is always the last arg
             pf = shard_map(local, mesh=mesh, in_specs=specs,
-                           out_specs=(P("dp"), P("dp"), P("dp"), P("dp")),
+                           out_specs=(RSPEC,) * 4,
                            check_vma=False)
             pcache[key] = jax.jit(pf)
-        args = [btable, jax.device_put(np.asarray(packed),
-                                       NamedSharding(mesh, P("dp", None)))]
+        args = [btable,
+                jax.device_put(np.asarray(packed),
+                               NamedSharding(mesh, P(("dp", "ep"), None)))]
         if has_nm:
-            args.append(jax.device_put(np.asarray(nmask),
-                                       NamedSharding(mesh, P("dp", None))))
+            args.append(jax.device_put(
+                np.asarray(nmask),
+                NamedSharding(mesh, P(("dp", "ep"), None))))
         elif has_ln:
             args.append(jax.device_put(np.asarray(lengths),
-                                       NamedSharding(mesh, P("dp"))))
+                                       NamedSharding(mesh, RSPEC)))
         args.append(panel)
         return pcache[key](*args)
 
