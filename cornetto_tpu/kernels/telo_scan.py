@@ -7,7 +7,11 @@ reads on device; the host tool path (tools/telofind.py) uses the memchr
 scan which is already IO-bound.
 
 Speed-of-light: the kernel reads each base once (1 byte) and writes one
-mask byte -> 2 bytes/base; see bench_kernels.py for measured vs roofline.
+mask byte -> 2 bytes/base; measured device-resident (chained_time) at
+~131 Gbases/s on v5e = 132% of the memcpy roofline — XLA's elementwise
+fusion keeps every doubling pass on-chip, so this IS the production path
+(kernels.pallas_telo holds the VMEM-explicit twins and the long-sequence
+telofind machinery; see its docstring for the measurement story).
 """
 
 import numpy as np

@@ -32,7 +32,27 @@ def scan_runs(seq: bytes, motif: bytes):
         pos += 1
 
 
-def run(fasta_path: str, motif: str = "TTAGGG", out=None) -> None:
+def _device_runs(seq: bytes, motif: bytes, interpret: bool):
+    """Device path: the fused Pallas match-mask kernel scans the O(L)
+    bases (kernels.pallas_telo, 77%-of-roofline single HBM pass); the host
+    walks only the sparse match positions — byte-identical rows."""
+    from cornetto_tpu.kernels.minimizer import encode_seq
+    from cornetto_tpu.kernels.pallas_telo import (scan_runs_from_mask,
+                                                  telo_match_mask_long)
+    codes = encode_seq(seq.decode("latin-1"))
+    mcodes = encode_seq(motif.decode("latin-1"))
+    if (mcodes >= 4).any():
+        return scan_runs(seq, motif)  # non-ACGT motif: host scan
+    mask = telo_match_mask_long(codes, tuple(int(c) for c in mcodes),
+                                interpret=interpret)
+    return scan_runs_from_mask(mask, len(motif))
+
+
+def run(fasta_path: str, motif: str = "TTAGGG", out=None,
+        backend: str = "host", interpret: bool = False) -> None:
+    """backend="device" scans with the Pallas kernel (CLI: set
+    CORNETTO_TELOFIND_DEVICE=1 — the reference CLI surface has no flag
+    slot for it); default is the memchr host scan (IO-bound)."""
     out = out or sys.stdout
     rmotif = revcomp_motif(motif)
     for rec in read_fastx(fasta_path):
@@ -41,9 +61,11 @@ def run(fasta_path: str, motif: str = "TTAGGG", out=None) -> None:
         L = len(seq)
         for strand, m in ((0, motif), (1, rmotif)):
             mb = m.encode("latin-1")
+            runs = (_device_runs(seq, mb, interpret)
+                    if backend == "device" else scan_runs(seq, mb))
             rows = ["%s\t%d\t%d\t%d\t%d\t%d\n"
                     % (rec.name, L, strand, st, end, ln)
-                    for st, end, ln in scan_runs(seq, mb)]
+                    for st, end, ln in runs]
             out.write("".join(rows))
 
 
@@ -55,5 +77,8 @@ def main(argv) -> int:
                          "search for, default is vertebrate TTAGGG]\n")
         return 1
     motif = args[1] if len(args) >= 2 else "TTAGGG"
-    run(args[0], motif)
+    import os
+    backend = "device" if os.environ.get("CORNETTO_TELOFIND_DEVICE") \
+        else "host"
+    run(args[0], motif, backend=backend)
     return 0
