@@ -35,6 +35,9 @@ def print_usage(fp) -> int:
     fp.write("       recreate-panel  recreate-cornetto pipeline\n")
     fp.write("       telostats       telomere statistics pipeline\n")
     fp.write("       livefish        real-time adaptive-sampling decision engine\n")
+    fp.write("       flow            one-iteration orchestrator (align/cov+panel+telostats+index)\n")
+    fp.write("       flow-eval       evaluation chain: minidotplot+telostats+asmstats+quast/compleasm/yak\n")
+    fp.write("       flow-sv         SV concordance chain: dipcall -> >50bp filter -> truvari\n")
     fp.write("       depth           per-base BAM depth (working; the reference's is a skeleton)\n")
     fp.write("       bammerge        merge position-sorted BAMs (+ .bai)\n")
     fp.write("\n")
@@ -126,6 +129,12 @@ def main(argv=None) -> int:
     elif cmd == "flow":
         from cornetto_tpu.flow import runner
         ret = runner.main(rest)
+    elif cmd == "flow-eval":
+        from cornetto_tpu.flow import evaljobs
+        ret = evaljobs.eval_main(rest)
+    elif cmd == "flow-sv":
+        from cornetto_tpu.flow import evaljobs
+        ret = evaljobs.sv_main(rest)
     elif cmd == "livefish":
         from cornetto_tpu.livefish import cli as livefish_cli
         ret = livefish_cli.main(rest)

@@ -35,7 +35,9 @@ class FlowContext:
     config: Dict
 
     def path(self, rel: str) -> str:
-        return os.path.join(self.workdir, rel)
+        # absolute: ctx.sh runs command templates with cwd=workdir, so
+        # workdir-relative paths would resolve doubly-nested there
+        return os.path.abspath(os.path.join(self.workdir, rel))
 
     def sh(self, template_key: str, **fmt) -> None:
         """Run an external-tool command template from the config, e.g.
