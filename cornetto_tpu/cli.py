@@ -38,6 +38,8 @@ def print_usage(fp) -> int:
     fp.write("       flow            one-iteration orchestrator (align/cov+panel+telostats+index)\n")
     fp.write("       flow-eval       evaluation chain: minidotplot+telostats+asmstats+quast/compleasm/yak\n")
     fp.write("       flow-sv         SV concordance chain: dipcall -> >50bp filter -> truvari\n")
+    fp.write("       flow-simplex    basecall->filter->assemble chain ([--duplex] for the legacy path)\n")
+    fp.write("       gfa2fa          assembly graph S-lines to FASTA (gfatools gfa2fa stage)\n")
     fp.write("       depth           per-base BAM depth (working; the reference's is a skeleton)\n")
     fp.write("       bammerge        merge position-sorted BAMs (+ .bai)\n")
     fp.write("\n")
@@ -135,6 +137,12 @@ def main(argv=None) -> int:
     elif cmd == "flow-sv":
         from cornetto_tpu.flow import evaljobs
         ret = evaljobs.sv_main(rest)
+    elif cmd == "flow-simplex":
+        from cornetto_tpu.flow import simplex
+        ret = simplex.main(rest)
+    elif cmd == "gfa2fa":
+        from cornetto_tpu.io import gfa
+        ret = gfa.main(rest)
     elif cmd == "livefish":
         from cornetto_tpu.livefish import cli as livefish_cli
         ret = livefish_cli.main(rest)

@@ -27,6 +27,10 @@ class Step:
     run: Callable[["FlowContext"], None]
     outputs: List[str] = field(default_factory=list)
     after: List[str] = field(default_factory=list)
+    # retry budget for flaky external stages (the reference retries only
+    # dorado duplex — shitflow/duplex/dorado_duplex_retry.sge.sh; here any
+    # step can declare attempts > 1)
+    attempts: int = 1
 
 
 @dataclass
@@ -68,8 +72,9 @@ class Flow:
         return deco
 
     def add(self, name: str, fn, outputs: List[str] = (),
-            after: List[str] = ()):
-        self.steps.append(Step(name, fn, list(outputs), list(after)))
+            after: List[str] = (), attempts: int = 1):
+        self.steps.append(Step(name, fn, list(outputs), list(after),
+                               attempts))
 
     def _load_state(self) -> Dict:
         if os.path.exists(self._state_path):
@@ -104,7 +109,17 @@ class Flow:
                 continue
             log.info("flow %s: run %s" % (self.name, step.name))
             t0 = time.time()
-            step.run(self.ctx)
+            for attempt in range(step.attempts):
+                try:
+                    step.run(self.ctx)
+                    break
+                except Exception as e:
+                    if attempt + 1 >= step.attempts:
+                        raise
+                    log.warning("flow %s: step %s attempt %d/%d failed "
+                                "(%s); retrying"
+                                % (self.name, step.name, attempt + 1,
+                                   step.attempts, e))
             for o in step.outputs:
                 if not os.path.exists(self.ctx.path(o)):
                     log.die("flow %s: step %s did not produce %s"
