@@ -104,22 +104,28 @@ def test_decide_packed_lengths_paths_agree():
 
 def test_fingerprint_lookup_exact():
     """Every indexed minimizer must be found by the fingerprint lookup with
-    its exact contig and position (zero drops at this scale)."""
+    its exact contig and position (zero drops at this scale).  One query per
+    row so the (votes, numer) per-contig stats pin each hash individually:
+    exactly one vote, on the right contig, with numer = the stored refpos."""
     from cornetto_tpu.livefish.decide import _lookup_votes
     from cornetto_tpu.livefish.index import build_index
     rng = np.random.default_rng(3)
     bases = np.array(list("ACGT"))
-    genome = {"c1": "".join(bases[rng.integers(0, 4, 50000)])}
+    genome = {"c1": "".join(bases[rng.integers(0, 4, 30000)]),
+              "c2": "".join(bases[rng.integers(0, 4, 20000)])}
     idx = build_index(genome, n_shards=1)
     assert idx.dropped_frac == 0.0
     n = int(idx.shard_counts[0])
     h = idx.hashes[0, :n]
-    q = jnp.asarray(h[None, :])
-    votes, found, contig, refpos = _lookup_votes(
+    q = jnp.asarray(h[:, None])                      # (n, 1): one per row
+    votes, numer = _lookup_votes(
         jnp.asarray(idx.btable[0]), idx.bucket_shift, q,
-        jnp.ones_like(q, dtype=bool), 1)
-    assert bool(np.asarray(found).all())
-    np.testing.assert_array_equal(np.asarray(contig)[0],
-                                  idx.contigs[0, :n])
-    np.testing.assert_array_equal(np.asarray(refpos)[0],
+        jnp.ones_like(q, dtype=bool), 2)
+    votes = np.asarray(votes)
+    numer = np.asarray(numer)
+    rows = np.arange(n)
+    exp_ctg = idx.contigs[0, :n]
+    assert (votes.sum(axis=1) == 1).all()            # found, exactly once
+    np.testing.assert_array_equal(votes[rows, exp_ctg], 1)
+    np.testing.assert_array_equal(numer[rows, exp_ctg],
                                   idx.positions[0, :n])
