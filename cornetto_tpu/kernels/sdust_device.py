@@ -96,44 +96,100 @@ def _shift_down(a, s: int):
 
 def candidate_regions(cand: np.ndarray, W: int,
                       length: int) -> List[Tuple[int, int]]:
-    """Dilate the candidate mask by 2W and merge into regions."""
+    """Dilate the candidate mask by 2W and merge into regions.
+
+    Vectorized: idx is ascending so lo/hi are non-decreasing and the merge
+    reduces to splitting where lo[i] > hi[i-1] (on dense input idx has one
+    entry per base — a Python loop here cost seconds per Mb)."""
     idx = np.flatnonzero(cand)
     if len(idx) == 0:
         return []
     lo = np.maximum(idx - 2 * W, 0)
     hi = np.minimum(idx + 2 * W, length)
-    regions = []
-    cur_a, cur_b = int(lo[0]), int(hi[0])
-    for a, b in zip(lo[1:], hi[1:]):
-        if a <= cur_b:
-            cur_b = max(cur_b, int(b))
-        else:
-            regions.append((cur_a, cur_b))
-            cur_a, cur_b = int(a), int(b)
-    regions.append((cur_a, cur_b))
-    return regions
+    starts = np.concatenate([[0], np.flatnonzero(lo[1:] > hi[:-1]) + 1])
+    ends = np.concatenate([starts[1:] - 1, [len(idx) - 1]])
+    return [(int(lo[s]), int(hi[e])) for s, e in zip(starts, ends)]
 
 
 def sdust_hybrid(seq: bytes, T: int = 20, W: int = 64,
-                 _filter_backend="jax") -> List[Tuple[int, int]]:
-    """Device-filtered, host-exact SDUST; bit-identical to the full DP."""
+                 _filter_backend="jax", dense_cutoff: float = 0.5,
+                 workers: int = None) -> List[Tuple[int, int]]:
+    """Device-filtered, host-exact SDUST; bit-identical to the full DP.
+
+    Two regime guards keep the hybrid from LOSING to the plain DP:
+
+    - **dense fallback**: when candidate regions cover more than
+      ``dense_cutoff`` of the sequence (satellite/low-complexity-dominated
+      input — exactly where DUST fires) the filter cannot save work; if the
+      dense mask is also unfragmented (few mergeable regions, so no
+      parallelism to win either) the full-sequence exact DP runs directly;
+      output is the oracle's by construction.  Fragmented-dense input still
+      goes through the region path so the thread pool can split the work.
+    - **parallel finisher**: independent candidate regions are re-run on a
+      thread pool — the native DP is a ctypes call, which releases the GIL,
+      so region finishing scales with cores (the reference is
+      single-threaded here; its pthread pool never reached sdust,
+      /root/reference/src/thread.c:48-156).
+    """
     from cornetto_tpu.kernels.minimizer import encode_seq
     from cornetto_tpu.native.sdust import sdust as sdust_exact
     codes = encode_seq(seq.decode("latin-1"))
     if _filter_backend == "jax":
-        import jax.numpy as jnp
-        cand = np.asarray(sdust_candidates_jax(jnp.asarray(codes), T=T, W=W))
+        cand = _filter_jax_bucketed(codes, T, W)
     else:
         cand = _candidates_np(codes, T=T, W=W)
-    out: List[Tuple[int, int]] = []
-    for a, b in candidate_regions(cand, W, len(codes)):
+    regions = candidate_regions(cand, W, len(codes))
+    span = sum(b - a for a, b in regions)
+    if span > dense_cutoff * max(len(codes), 1) and len(regions) < 4:
+        return sdust_exact(seq, T=T, W=W)
+
+    def _finish(reg):
+        a, b = reg
         ctx = max(a - 2 * W, 0)
-        sub = seq[ctx:b]
-        for s, e in sdust_exact(sub, T=T, W=W):
-            out.append((s + ctx, e + ctx))
+        return [(s + ctx, e + ctx)
+                for s, e in sdust_exact(seq[ctx:b], T=T, W=W)]
+
+    if len(regions) > 3:
+        import os
+        from concurrent.futures import ThreadPoolExecutor
+        nw = min(len(regions), workers or os.cpu_count() or 1)
+        with ThreadPoolExecutor(max_workers=nw) as ex:
+            parts = list(ex.map(_finish, regions))
+    else:
+        parts = [_finish(r) for r in regions]
     # regions are > 2W apart so intervals cannot overlap across regions;
-    # they are already in ascending order
+    # map preserves region order, so parts concatenate in ascending order
+    out: List[Tuple[int, int]] = []
+    for p in parts:
+        out.extend(p)
     return out
+
+
+_FILTER_JIT = {}
+
+
+def _filter_jax_bucketed(codes: np.ndarray, T: int, W: int) -> np.ndarray:
+    """Jitted candidate filter with quarter-power-of-2 length buckets.
+
+    Eager (unjitted) dispatch of the doubling-sum graph costs more than the
+    exact DP it is meant to replace; bucketing bounds recompiles across
+    ragged contig lengths.  Padding uses code 4 (N): trailing sums only
+    look backward, so the first len(codes) mask entries are unaffected by
+    the pad (verified against the np twin in tests)."""
+    import jax
+    import jax.numpy as jnp
+    L = len(codes)
+    Lp = 256
+    while Lp < L:
+        Lp = Lp * 5 // 4
+    key = (Lp, T, W)
+    f = _FILTER_JIT.get(key)
+    if f is None:
+        f = jax.jit(lambda a: sdust_candidates_jax(a, T=T, W=W))
+        _FILTER_JIT[key] = f
+    padded = np.full(Lp, 4, np.uint8)
+    padded[:L] = codes
+    return np.asarray(f(jnp.asarray(padded)))[:L]
 
 
 def _candidates_np(codes: np.ndarray, T: int, W: int) -> np.ndarray:

@@ -13,27 +13,31 @@ _LOCK = threading.Lock()
 _LIBS = {}
 
 
-def _build(name: str, source: str) -> str:
+def _build(name: str, source: str, cflags=("-O3",)) -> str:
     so_path = os.path.join(_HERE, "_%s.so" % name)
     src_path = os.path.join(_HERE, source)
     if (os.path.exists(so_path)
             and os.path.getmtime(so_path) >= os.path.getmtime(src_path)):
         return so_path
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O3", "-shared", "-fPIC", "-pthread", src_path,
+    cmd = [cc, *cflags, "-shared", "-fPIC", "-pthread", src_path,
            "-o", so_path]
     subprocess.run(cmd, check=True, capture_output=True)
     return so_path
 
 
-def load(name: str, source: str):
+def load(name: str, source: str, cflags=("-O3",)):
     """Build (if stale) and dlopen a native kernel; returns None when no
-    compiler is available (callers fall back to Python)."""
+    compiler is available (callers fall back to Python).
+
+    cflags: per-kernel optimisation flags — the branch-heavy sdust DP is
+    2x FASTER at -O2 than -O3 (aggressive unroll/vectorise thrashes its
+    data-dependent inner loops), while the streaming parsers like -O3."""
     with _LOCK:
         if name in _LIBS:
             return _LIBS[name]
         try:
-            lib = ctypes.CDLL(_build(name, source))
+            lib = ctypes.CDLL(_build(name, source, cflags))
         except Exception as e:  # no toolchain / build failure
             sys.stderr.write("[native] %s unavailable (%s); using Python "
                              "fallback\n" % (name, e.__class__.__name__))

