@@ -192,6 +192,23 @@ def main() -> int:
         "table_MB": round(idx.btable.nbytes / 1e6, 1),
     }
 
+    # full decision step, device-resident (extract + lookup + votes +
+    # panel policy, chained so per-dispatch tunnel cost is subtracted) —
+    # the honest "device step per 16k batch" number
+    import functools
+    from cornetto_tpu.livefish.decide import decision_core_packed
+    on_tpu_now = jax.default_backend() == "tpu"
+    step = functools.partial(
+        decision_core_packed, jnp.asarray(idx.btable[0]),
+        nmask=None, panel_mask=pn, L=L2, k=15, w=10, min_hits=3,
+        bin_size=1000, bucket_shift=idx.bucket_shift,
+        use_pallas=on_tpu_now)
+    dts = chained_time(lambda p: step(packed=p)[1], dpk, 0x7FFFFFFF)
+    results["decision_step_device"] = {
+        "ms_per_16k_batch": round(dts * 1e3, 3),
+        "Mreads_per_s": round(B2 / dts / 1e6, 3),
+    }
+
     # native host-side FASTQ->packed parser + end-to-end stream (the
     # production `livefish run` path: parse thread + device decide with
     # one fused readback + writer thread)
@@ -199,9 +216,10 @@ def main() -> int:
     from cornetto_tpu.livefish.decide import SingleChipEngine
     from cornetto_tpu.native.fastq_pack import iter_packed_batches
     from cornetto_tpu.livefish.stream import stream_decisions
-    NR, LR = 60_000, 450
+    NR, LR = 196_608, 450   # 3 full 64k-read batches
     g0 = genome["c0"]
-    fq = os.path.join(tempfile.gettempdir(), "bench_stream_reads.fq")
+    fq = os.path.join(tempfile.gettempdir(),
+                      "bench_stream_reads_%d.fq" % NR)
     if not os.path.exists(fq):
         with open(fq, "w") as f:
             qual = "I" * LR
@@ -266,12 +284,15 @@ def main() -> int:
             pass
 
     sink = _Sink()
-    stream_decisions(eng, fq, batch=16384, read_len=LR, out=sink)  # compile
+    # 64k-read batches amortize the ~40 ms/batch fixed cost (dispatch +
+    # readback latency) against the ~45 MB/s upload pipe
+    stream_decisions(eng, fq, batch=65536, read_len=LR, out=sink)  # compile
     t0 = time.perf_counter()
-    tot, _ = stream_decisions(eng, fq, batch=16384, read_len=LR, out=sink)
+    tot, _ = stream_decisions(eng, fq, batch=65536, read_len=LR, out=sink)
     dte = time.perf_counter() - t0
     results["e2e_stream_decisions"] = {
         "reads_per_s": round(tot / dte, 1),
+        "batch": 65536,
         "note": "FASTQ on disk -> TSV rows; tunnel transfer-bound",
     }
 

@@ -154,7 +154,15 @@ def _parse_bedgraph_numpy(path: str, ranged: bool = False):
     [start, end) ranges are expanded to per-base arrays instead of being
     rejected.  The strict default stays byte-parity with the C binary.
     """
-    parsed = _parse_bedgraph_native(path)
+    if _is_gzip(path):
+        import gzip
+        with gzip.open(path, "rb") as fp:
+            data = fp.read()
+        parsed = _parse_bedgraph_pandas(data) if data else None
+        if parsed is None:
+            return [], [], []
+    else:
+        parsed = _parse_bedgraph_native(path)
     if parsed is None:
         with open(path, "rb") as fp:
             data = fp.read()
@@ -193,13 +201,160 @@ def _parse_bedgraph_numpy(path: str, ranged: bool = False):
     return names, seg_starts, seg_depths
 
 
+def _is_gzip(path: str) -> bool:
+    with open(path, "rb") as f:
+        return f.read(2) == b"\x1f\x8b"
+
+
+def _bg_fill_error(err, row_base: int) -> None:
+    kind = int(err[1])
+    if kind == 0:
+        log.error("The depth files should have 4 columns. Had fewer "
+                  "at row %d." % (int(err[0]) + row_base))
+    elif kind == 1:
+        log.error("The depth files should have end=start+1. Found %d "
+                  "to %d" % (int(err[2]), int(err[3])))
+    else:
+        log.error("The depth files should be incremantal at one base "
+                  "resolution. Found %d to %d"
+                  % (int(err[2]), int(err[3])))
+    sys.exit(1)
+
+
+def _load_depth_streaming_gz(path: str, window: int = 64 << 20):
+    """Gzip-transparent variant of _load_depth_streaming: inflates the
+    track in `window`-byte row-aligned slices (zlib C speed, multi-member
+    gzip/bgzip/pigz all fine via the gzip module) and runs the native
+    bg_fill parser per slice, stitching contig continuations and the
+    incremental-start validation across slice boundaries.
+
+    A 3 Gbp 1-bp-resolution track is ~60 GB of text but ~10-15 GB
+    gzipped; this path keeps BOTH the disk footprint (compressed file)
+    AND peak memory (2 B/row depth + one inflated window) human-scale.
+    Returns the same tuple as _load_depth_streaming, or None if the
+    native kernel is unavailable."""
+    import ctypes
+    import gzip
+    from cornetto_tpu import native
+    lib = native.load("bedgraph_native", "bedgraph_native.c")
+    if lib is None or not hasattr(lib, "bg_fill"):
+        return None
+    lib.bg_fill.restype = ctypes.c_int64
+    p = ctypes.POINTER(ctypes.c_int64)
+    u16p = ctypes.POINTER(ctypes.c_uint16)
+    nthreads = min(os.cpu_count() or 1, 16)
+    ctg_cap, tr_cap = 1 << 20, 1 << 16
+    ctg_row = np.empty(ctg_cap, np.int64)
+    ctg_off = np.empty(ctg_cap, np.int64)
+    ctg_len = np.empty(ctg_cap, np.int64)
+    ctg_first = np.empty(ctg_cap, np.int64)
+    tr_row = np.empty(tr_cap, np.int64)
+    tr_val = np.empty(tr_cap, np.int64)
+
+    cap = 1 << 22
+    depth = np.empty(cap, np.uint16)
+    rows_total = 0
+    names, firsts, bound_rows = [], [], []
+    tr_rows_all, tr_vals_all = [], []
+    tr_total = 0
+    sum_total = 0
+    prev_name = None
+    prev_last_start = -1
+
+    with gzip.open(path, "rb") as gz:
+        tail = b""
+        eof = False
+        while True:
+            chunk = b"" if eof else gz.read(window)
+            if chunk:
+                data = tail + chunk
+                cut = data.rfind(b"\n")
+                if cut < 0:
+                    tail = data
+                    continue
+                buf, tail = data[:cut + 1], data[cut + 1:]
+            else:
+                eof = True
+                buf, tail = tail, b""
+                if not buf:
+                    break
+            view = np.frombuffer(buf, dtype=np.uint8)
+            wrows = int(np.count_nonzero(view == 10))
+            if buf[-1:] != b"\n":
+                wrows += 1
+            if wrows == 0:
+                continue
+            while rows_total + wrows > cap:
+                cap *= 2
+            if cap > len(depth):
+                nd = np.empty(cap, np.uint16)
+                nd[:rows_total] = depth[:rows_total]
+                depth = nd
+            n_ctg = np.array([ctg_cap], np.int64)
+            ssum = np.zeros(1, np.int64)
+            n_tr = np.zeros(2, np.int64)
+            err = np.zeros(4, np.int64)
+            rows = lib.bg_fill(
+                ctypes.c_void_p(view.ctypes.data),
+                ctypes.c_int64(len(buf)), ctypes.c_int(nthreads),
+                depth[rows_total:].ctypes.data_as(u16p),
+                ctg_row.ctypes.data_as(p), ctg_off.ctypes.data_as(p),
+                ctg_len.ctypes.data_as(p), ctg_first.ctypes.data_as(p),
+                n_ctg.ctypes.data_as(p), ssum.ctypes.data_as(p),
+                tr_row.ctypes.data_as(p), tr_val.ctypes.data_as(p),
+                ctypes.c_int64(tr_cap), n_tr.ctypes.data_as(p),
+                err.ctypes.data_as(p))
+            if rows == -2:
+                return None    # > 1M contigs in one window: generic path
+            if rows == -1:
+                _bg_fill_error(err, rows_total)
+            nc = int(n_ctg[0])
+            for k in range(nc):
+                nm = buf[int(ctg_off[k]):
+                         int(ctg_off[k] + ctg_len[k])].decode()
+                fs = int(ctg_first[k])
+                if k == 0 and prev_name is not None and nm == prev_name:
+                    # contig continues across the window boundary
+                    if fs != prev_last_start + 1:
+                        log.error("The depth files should be incremantal "
+                                  "at one base resolution. Found %d to %d"
+                                  % (prev_last_start, fs))
+                        sys.exit(1)
+                else:
+                    names.append(nm)
+                    firsts.append(fs)
+                    bound_rows.append(rows_total + int(ctg_row[k]))
+            prev_name = names[-1]
+            prev_last_start = (int(ctg_first[nc - 1])
+                               + (rows - int(ctg_row[nc - 1]) - 1))
+            ne = int(n_tr[0])
+            if ne:
+                tr_rows_all.append(tr_row[:ne] + rows_total)
+                tr_vals_all.append(tr_val[:ne].copy())
+            tr_total += int(n_tr[1])
+            sum_total += int(ssum[0])
+            rows_total += int(rows)
+
+    bounds = np.append(np.array(bound_rows, np.int64), rows_total)
+    trr = (np.concatenate(tr_rows_all) if tr_rows_all
+           else np.empty(0, np.int64))
+    trv = (np.concatenate(tr_vals_all) if tr_vals_all
+           else np.empty(0, np.int64))
+    return (names, np.array(firsts, np.int64), depth[:rows_total], bounds,
+            sum_total, (trr, trv, tr_total))
+
+
 def _load_depth_streaming(path: str):
     """Whole-genome streaming load via the native bg_fill kernel: peak
     memory 2 B/row (uint16 depths written directly, no int64 row arrays —
-    the difference between ~6 GB and ~72 GB for a 3 Gbp track).  Returns
+    the difference between ~6 GB and ~72 GB for a 3 Gbp track).  Gzipped
+    tracks (`samtools depth -aa | gzip`) are inflated in row-aligned
+    windows (_load_depth_streaming_gz).  Returns
     (names, first_starts, depth_u16, row_bounds, clamped_sum,
     (trunc_rows, trunc_vals, trunc_total)) or None if the native kernel is
     unavailable."""
+    if _is_gzip(path):
+        return _load_depth_streaming_gz(path)
     import ctypes
     import mmap
     import os as _os

@@ -159,7 +159,8 @@ class ChunkDecisionEngine:
         if isinstance(res, tuple):
             d, best, est, nhits = (np.asarray(x) for x in res)
         else:
-            d, best, est, nhits = np.asarray(res)   # fused (4, B) int32
+            from cornetto_tpu.livefish.decide import unpack_fused
+            d, best, est, nhits = unpack_fused(np.asarray(res))
         out: List[ChunkDecision] = []
         for i, c in enumerate(chans):
             if self._read_id[c] != rids[i] or self._done[c]:

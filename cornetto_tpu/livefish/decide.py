@@ -197,15 +197,39 @@ def _decide_from_minima(btable, h, valid, panel_mask, min_hits: int,
 
 def decision_core_packed_fused(btable, packed, nmask, panel_mask,
                                lengths=None, **kw):
-    """decision_core_packed with the four outputs stacked into ONE (4, B)
-    int32 array: a single host readback instead of four.  Through the axon
-    tunnel each readback pays ~17 ms of latency, so the 4-array result
-    halved end-to-end streaming throughput (measured 214k -> 103k reads/s);
-    row 0 = decision, 1 = best contig, 2 = est pos, 3 = nhits."""
+    """decision_core_packed with the four outputs packed into ONE (2, B)
+    int32 array: a single host readback instead of four, at 8 B/read
+    instead of 16.  Through the axon tunnel each readback pays ~17 ms of
+    latency (the 4-array result halved end-to-end streaming throughput,
+    measured 214k -> 103k reads/s) and every byte rides a ~45 MB/s pipe,
+    so both the count and the size of readbacks matter.
+
+    row 0 = decision<<30 | min(nhits, 0x3FFF)<<16 | best_contig
+    row 1 = est position (int32)
+
+    best_contig needs < 2^16 contigs (checked at index build; hifiasm
+    emits thousands) and nhits saturates at 16383 (a read has at most
+    ~L/w minimizers, ~45 at the 450-bp chunk length).  Decode with
+    unpack_fused."""
     import jax.numpy as jnp
     d, b, e, nh = decision_core_packed(btable, packed, nmask, panel_mask,
                                        lengths=lengths, **kw)
-    return jnp.stack([d.astype(jnp.int32), b, e, nh])
+    w0 = ((d.astype(jnp.int32) << 30)
+          | (jnp.minimum(nh, 0x3FFF) << 16)
+          | (b & 0xFFFF))
+    return jnp.stack([w0, e])
+
+
+def unpack_fused(arr):
+    """Decode a host-side (2, B) fused result array back into
+    (decision, best_contig, est_pos, nhits) int32 vectors."""
+    import numpy as np
+    w0 = np.asarray(arr[0])
+    est = np.asarray(arr[1])
+    d = (w0 >> 30) & 1
+    nhits = (w0 >> 16) & 0x3FFF
+    best = w0 & 0xFFFF
+    return d, best, est, nhits
 
 
 class SingleChipEngine:
@@ -216,6 +240,8 @@ class SingleChipEngine:
         import jax
         import jax.numpy as jnp
         assert index.n_shards == 1
+        # fused readback packs best_contig into 16 bits (unpack_fused)
+        assert panel_mask.shape[0] < (1 << 16), "too many contigs"
         self._btable = jnp.asarray(index.btable[0])
         self._panel = jnp.asarray(panel_mask)
         # the fused Pallas extraction kernel is compiled for TPU; on the

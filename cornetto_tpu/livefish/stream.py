@@ -141,7 +141,10 @@ def _stream_decisions_native(engine, first, gen,
                                   bitorder="little")[:, :nm.shape[1]]
                 res = decide(pb.packed, nm, read_len)
             pending.append((pb, res))
-            while len(pending) > 2:
+            # 3 batches in flight: the tunnel serializes transfers, so the
+            # queue must be deep enough that an upload, a device step and
+            # a readback are always concurrently outstanding
+            while len(pending) > 3:
                 writer.put(*_readback(pending.popleft()))
         while pending:
             writer.put(*_readback(pending.popleft()))
@@ -154,7 +157,8 @@ def _readback(entry):
     pb, res = entry
     if isinstance(res, tuple):
         return pb, tuple(np.asarray(x) for x in res)
-    return pb, np.asarray(res)   # fused (4, B) int32
+    from cornetto_tpu.livefish.decide import unpack_fused
+    return pb, unpack_fused(np.asarray(res))   # fused (2, B) int32
 
 
 class _RowWriter:

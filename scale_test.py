@@ -22,7 +22,17 @@ def log(msg):
     sys.stderr.write("[scale] %s\n" % msg)
 
 
-def gen(workdir: str, mbp: float):
+def _build_gen_track() -> str:
+    here = os.path.dirname(os.path.abspath(__file__))
+    src = os.path.join(here, "test_data", "gen_track.c")
+    exe = os.path.join(here, "test_data", "_gen_track")
+    if (not os.path.exists(exe)
+            or os.path.getmtime(exe) < os.path.getmtime(src)):
+        subprocess.run(["cc", "-O2", src, "-lz", "-o", exe], check=True)
+    return exe
+
+
+def gen(workdir: str, mbp: float, gz: bool = False):
     rng = np.random.default_rng(50)
     bases = np.array(list("ACGT"))
     total = int(mbp * 1e6)
@@ -42,21 +52,23 @@ def gen(workdir: str, mbp: float):
                 f.write(s[j:j + 80] + "\n")
     log("fasta %.1f Mbp in %.0fs" % (sum(lens) / 1e6, time.time() - t0))
     t0 = time.time()
-    import pandas as pd
-    for suffix, jitter in ((".cov-total.bg", 0), (".cov-mq20.bg", 2)):
-        path = os.path.join(workdir, "asm" + suffix)
-        # per-contig append: a Gbp-scale whole-genome concat would need
-        # tens of GB of DataFrame
-        with open(path, "w") as fh:
-            for i, ln in enumerate(lens):
-                ln_eff = ln + (3600 if i % 3 == 0 else 0)
-                d = np.clip(30 + np.cumsum(rng.integers(-1, 2, ln_eff)) // 3
-                            - rng.integers(0, jitter + 1, ln_eff), 0, None)
-                pd.DataFrame({
-                    "c": "ptg%06dl" % i, "s": np.arange(ln_eff),
-                    "e": np.arange(1, ln_eff + 1), "d": d}).to_csv(
-                        fh, sep="\t", header=False, index=False)
-    log("bedgraphs in %.0fs" % (time.time() - t0))
+    # native row generator (test_data/gen_track.c): pandas-side row
+    # generation tops out around 15 MB/s — a 3 Gbp track is ~60 GB of
+    # text.  Same seed => same depth walk, so mq <= total everywhere.
+    exe = _build_gen_track()
+    lens_path = os.path.join(workdir, "lens.tsv")
+    with open(lens_path, "w") as f:
+        for i, ln in enumerate(lens):
+            ln_eff = ln + (3600 if i % 3 == 0 else 0)
+            f.write("ptg%06dl\t%d\n" % (i, ln_eff))
+    ext = ".gz" if gz else ""
+    procs = [subprocess.Popen(
+        [exe, lens_path, os.path.join(workdir, "asm" + suffix + ext),
+         "50", str(jitter)])
+        for suffix, jitter in ((".cov-total.bg", 0), (".cov-mq20.bg", 2))]
+    for pr in procs:
+        assert pr.wait() == 0
+    log("bedgraphs%s in %.0fs" % (" (gz)" if gz else "", time.time() - t0))
     with open(os.path.join(workdir, "asm.bp.p_ctg.lowQ.bed"), "w") as f:
         for i, ln in enumerate(lens):
             for _ in range(3):
