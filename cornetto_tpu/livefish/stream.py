@@ -113,22 +113,46 @@ def stream_decisions(engine, fastq_path: str, batch: int = 4096,
 
 def _stream_decisions_native(engine, first, gen,
                              read_len: int, out) -> Tuple[int, int]:
-    """Dispatch-thread work per batch is upload + ONE readback; TSV
-    formatting/writing runs on a writer thread and host parse on the
-    Prefetcher thread, so through the (serialized) tunnel the loop runs
-    at transfer speed.  Two batches stay in flight."""
+    """Three-stage pipeline behind the dispatch thread: the Prefetcher
+    thread parses+packs, the dispatch (this) thread only uploads+enqueues,
+    a DRAIN thread blocks on the device readbacks, and a writer thread
+    formats TSV natively (tsv_format.c, GIL released) — so through the
+    (serialized) tunnel the loop runs at transfer speed with uploads
+    back-to-back; readbacks never stall an upload."""
     import itertools
-    from collections import deque
     # single-readback variant when the engine offers it (tunnel latency
     # per readback otherwise dominates: see decision_core_packed_fused)
     decide = getattr(engine, "decide_packed_fused", engine.decide_packed)
     writer = _RowWriter(out, getattr(engine, "contig_names", None))
-    pending = deque()
+    dq: "queue.Queue" = queue.Queue(maxsize=4)
+    _DONE = object()
+    drain_err: List[BaseException] = []
+
+    def _drain_loop():
+        while True:
+            item = dq.get()
+            if item is _DONE:
+                return
+            if drain_err:
+                continue        # swallow queue to unblock the producer
+            try:
+                writer.put(*_readback(item))
+            except BaseException as e:
+                drain_err.append(e)
+
+    drain = threading.Thread(target=_drain_loop, daemon=True)
+    drain.start()
     try:
         for pb in Prefetcher(itertools.chain([first], gen)):
             if pb.nmask is None:
-                res = decide(pb.packed, None, read_len,
-                             lengths=pb.lengths)
+                lens = pb.lengths
+                if lens is not None and bool(
+                        np.all(lens[:pb.count] == read_len)):
+                    # all chunks full-length (the steady-state norm): skip
+                    # the 4 B/read lengths upload; pad rows beyond count
+                    # produce garbage decisions that are never emitted
+                    lens = None
+                res = decide(pb.packed, None, read_len, lengths=lens)
             else:
                 # interior Ns: take the bitmap path.  The native kernel's
                 # bitmap marks only real N bases; pad positions past each
@@ -140,16 +164,15 @@ def _stream_decisions_native(engine, first, gen,
                 nm |= np.packbits(pad, axis=1,
                                   bitorder="little")[:, :nm.shape[1]]
                 res = decide(pb.packed, nm, read_len)
-            pending.append((pb, res))
-            # 3 batches in flight: the tunnel serializes transfers, so the
-            # queue must be deep enough that an upload, a device step and
-            # a readback are always concurrently outstanding
-            while len(pending) > 3:
-                writer.put(*_readback(pending.popleft()))
-        while pending:
-            writer.put(*_readback(pending.popleft()))
+            dq.put((pb, res))
+            if drain_err:
+                break
     finally:
+        dq.put(_DONE)
+        drain.join()
         writer.close()
+    if drain_err:
+        raise drain_err[0]
     return writer.total, writer.accepted
 
 
@@ -162,16 +185,21 @@ def _readback(entry):
 
 
 class _RowWriter:
-    """FIFO formatting+writing thread: keeps `%`-formatting 200k rows/s of
-    TSV off the device dispatch thread."""
+    """FIFO formatting+writing thread: keeps TSV formatting off the device
+    dispatch thread.  Batches carrying a compact id blob format natively
+    (tsv_format.c releases the GIL, ~10M rows/s); others take the Python
+    row loop (byte-identical output, tested)."""
 
     _DONE = object()
 
     def __init__(self, out, names):
         import queue
         import threading
+        from cornetto_tpu.native import tsv_format as _tf
         self._out = out
         self._names = names
+        self._tf = _tf if _tf.available() else None
+        self._ntable = _tf.NameTable(names) if self._tf else None
         self._q: "queue.Queue" = queue.Queue(maxsize=8)
         self.total = self.accepted = 0
         self._err = None
@@ -191,6 +219,15 @@ class _RowWriter:
                     return
                 pb, arrs = item
                 d, best, est, nhits = arrs
+                if self._tf is not None and \
+                        getattr(pb, "id_blob", None) is not None:
+                    data, acc = self._tf.format_batch(
+                        pb.id_blob, pb.id_off, pb.id_len,
+                        d, best, est, nhits, self._ntable, pb.count)
+                    self._out.write(data.decode("ascii"))
+                    self.accepted += acc
+                    self.total += pb.count
+                    continue
                 names = self._names
                 rows = []
                 for i in range(pb.count):

@@ -41,11 +41,27 @@ def _get():
 
 @dataclass
 class PackedBatch:
-    ids: List[str]
     packed: np.ndarray            # (B, ceil(L/4)) uint8
     nmask: Optional[np.ndarray]   # (B, ceil(L/8)) uint8, None if N-free
     lengths: np.ndarray           # (B,) int32
     count: int                    # valid rows
+    # read ids as one compact blob + offsets (native tsv_format consumes
+    # these directly; Python-string ids are decoded lazily on demand)
+    id_blob: Optional[bytes] = None
+    id_off: Optional[np.ndarray] = None   # (count,) int64 into id_blob
+    id_len: Optional[np.ndarray] = None   # (count,) int32
+    _ids: Optional[List[str]] = None
+
+    @property
+    def ids(self) -> List[str]:
+        if self._ids is None:
+            if self.id_blob is None:
+                return []
+            blob, off, ln = self.id_blob, self.id_off, self.id_len
+            self._ids = [
+                blob[int(off[i]):int(off[i]) + int(ln[i])].decode()
+                for i in range(self.count)]
+        return self._ids
 
 
 class NativeParseError(Exception):
@@ -125,13 +141,13 @@ def iter_packed_batches(path: str, batch: int, read_len: int,
                 break
             if c < batch and not eof:
                 break   # partial mid-stream: re-parse with the next chunk
-            ids = [buf[pos + int(name_off[i]):
-                       pos + int(name_off[i]) + int(name_len[i])].decode()
-                   for i in range(c)]
+            from cornetto_tpu.native.tsv_format import compact_ids
+            blob, ooff = compact_ids(buf, pos, name_off, name_len, c)
             out.append(PackedBatch(
-                ids, packed.copy(),
+                packed.copy(),
                 nmask.copy() if has_n.value else None,
-                lengths.copy(), c))
+                lengths.copy(), c,
+                id_blob=blob, id_off=ooff, id_len=name_len[:c].copy()))
             pos += consumed
         return buf[pos:], out
 
