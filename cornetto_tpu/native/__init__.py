@@ -13,13 +13,26 @@ _LOCK = threading.Lock()
 _LIBS = {}
 
 
+def _sanitize() -> bool:
+    """CORNETTO_NATIVE_SANITIZE=1 builds every native kernel with ASan +
+    UBSan (matching the reference's `make asan=1` + valgrind CI legs,
+    /root/reference/Makefile:32-35, test/test.sh:16-22).  The host python
+    is not ASan-linked, so the caller must LD_PRELOAD libasan/libubsan —
+    tests/run_sanitized.sh does both."""
+    return os.environ.get("CORNETTO_NATIVE_SANITIZE", "") == "1"
+
+
 def _build(name: str, source: str, cflags=("-O3",)) -> str:
-    so_path = os.path.join(_HERE, "_%s.so" % name)
+    suffix = ".asan" if _sanitize() else ""
+    so_path = os.path.join(_HERE, "_%s%s.so" % (name, suffix))
     src_path = os.path.join(_HERE, source)
     if (os.path.exists(so_path)
             and os.path.getmtime(so_path) >= os.path.getmtime(src_path)):
         return so_path
     cc = os.environ.get("CC", "cc")
+    if _sanitize():
+        cflags = (*cflags, "-fsanitize=address,undefined",
+                  "-fno-sanitize-recover=all", "-g")
     cmd = [cc, *cflags, "-shared", "-fPIC", "-pthread", src_path,
            "-o", so_path]
     subprocess.run(cmd, check=True, capture_output=True)
