@@ -2,6 +2,7 @@
 tree, usage text shape, and end-of-run Real time / CPU time / Peak RAM
 footer."""
 
+import os
 import sys
 
 from cornetto_tpu.utils import timing
@@ -51,6 +52,12 @@ def print_usage(fp) -> int:
 def main(argv=None) -> int:
     argv = list(sys.argv if argv is None else argv)
     realtime0 = timing.realtime()
+    if os.environ.get("CORNETTO_FORCE_CPU") == "1":
+        # the axon TPU plugin ignores JAX_PLATFORMS; jax.config is the
+        # reliable way to pin CPU (used by batch/scale jobs that must not
+        # grab the chip)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if len(argv) < 2:
         return print_usage(sys.stderr)
     cmd = argv[1]

@@ -50,9 +50,10 @@ def _device_runs(seq: bytes, motif: bytes, interpret: bool):
 
 def run(fasta_path: str, motif: str = "TTAGGG", out=None,
         backend: str = "host", interpret: bool = False) -> None:
-    """backend="device" scans with the Pallas kernel (CLI: set
-    CORNETTO_TELOFIND_DEVICE=1 — the reference CLI surface has no flag
-    slot for it); default is the memchr host scan (IO-bound)."""
+    """backend="device" scans with the Pallas kernel (CLI: `--backend
+    device`); default is the memchr host scan (IO-bound end-to-end — the
+    device path wins only when codes are already resident, see
+    BENCH_KERNELS.json telo_mask_pallas)."""
     out = out or sys.stdout
     rmotif = revcomp_motif(motif)
     for rec in read_fastx(fasta_path):
@@ -71,14 +72,39 @@ def run(fasta_path: str, motif: str = "TTAGGG", out=None,
 
 def main(argv) -> int:
     args = argv[1:] if argv and argv[0] == "telofind" else argv
-    if len(args) < 1:
-        sys.stderr.write("Error: invalid number of parameters\n")
-        sys.stderr.write("Usage: find <input fasta> [optional sequence to "
-                         "search for, default is vertebrate TTAGGG]\n")
-        return 1
-    motif = args[1] if len(args) >= 2 else "TTAGGG"
+    # --backend {host|device} follows the tool-flag convention used across
+    # the CLI (an extension slot: the reference CLI is positional-only,
+    # src/find_telomere.c:83-110); CORNETTO_TELOFIND_DEVICE=1 is honored
+    # for back-compat.
     import os
     backend = "device" if os.environ.get("CORNETTO_TELOFIND_DEVICE") \
         else "host"
-    run(args[0], motif, backend=backend)
+    pos = []
+    i = 0
+    while i < len(args):
+        a = args[i]
+        if a == "--backend" and i + 1 < len(args):
+            backend = args[i + 1]
+            i += 2
+        elif a.startswith("--backend="):
+            backend = a.split("=", 1)[1]
+            i += 1
+        else:
+            pos.append(a)
+            i += 1
+    if backend not in ("host", "device"):
+        sys.stderr.write("Error: --backend must be host or device\n")
+        return 1
+    if len(pos) < 1:
+        sys.stderr.write("Error: invalid number of parameters\n")
+        sys.stderr.write("Usage: find <input fasta> [optional sequence to "
+                         "search for, default is vertebrate TTAGGG] "
+                         "[--backend host|device]\n")
+        return 1
+    motif = pos[1] if len(pos) >= 2 else "TTAGGG"
+    # on the CPU test backend the Pallas kernel runs in interpret mode
+    import jax
+    interpret = jax.default_backend() != "tpu" if backend == "device" \
+        else False
+    run(pos[0], motif, backend=backend, interpret=interpret)
     return 0

@@ -34,7 +34,6 @@ def _build_gen_track() -> str:
 
 def gen(workdir: str, mbp: float, gz: bool = False):
     rng = np.random.default_rng(50)
-    bases = np.array(list("ACGT"))
     total = int(mbp * 1e6)
     lens = []
     while sum(lens) < total:
@@ -42,14 +41,27 @@ def gen(workdir: str, mbp: float, gz: bool = False):
     os.makedirs(workdir, exist_ok=True)
     fa = os.path.join(workdir, "asm.fasta")
     t0 = time.time()
-    with open(fa, "w") as f:
+    acgt = np.frombuffer(b"ACGT", dtype=np.uint8)
+    with open(fa, "wb") as f:
         for i, ln in enumerate(lens):
-            f.write(">ptg%06dl\n" % i)
-            s = "".join(bases[rng.integers(0, 4, ln)])
+            f.write(b">ptg%06dl\n" % i)
+            # bytes path: ~50x the '<U1'-join rate (matters at 3 Gbp)
+            s = acgt[rng.integers(0, 4, ln, dtype=np.int64)].tobytes()
             if i % 3 == 0:
-                s = "TTAGGG" * 300 + s + "CCCTAA" * 300
-            for j in range(0, len(s), 80):
-                f.write(s[j:j + 80] + "\n")
+                s = b"TTAGGG" * 300 + s + b"CCCTAA" * 300
+            body = np.frombuffer(s, dtype=np.uint8)
+            pad = -len(body) % 80
+            nrows = (len(body) + pad) // 80
+            flat = np.zeros(nrows * 80, dtype=np.uint8)
+            flat[:len(body)] = body
+            wrapped = np.empty((nrows, 81), dtype=np.uint8)
+            wrapped[:, :80] = flat.reshape(nrows, 80)
+            wrapped[:, 80] = ord("\n")
+            out = wrapped.tobytes()
+            if pad:
+                # drop the pad cells of the final row (keep its newline)
+                out = out[:-(pad + 1)] + b"\n"
+            f.write(out)
     log("fasta %.1f Mbp in %.0fs" % (sum(lens) / 1e6, time.time() - t0))
     t0 = time.time()
     # native row generator (test_data/gen_track.c): pandas-side row
@@ -68,6 +80,13 @@ def gen(workdir: str, mbp: float, gz: bool = False):
         for suffix, jitter in ((".cov-total.bg", 0), (".cov-mq20.bg", 2))]
     for pr in procs:
         assert pr.wait() == 0
+    if gz:
+        # the framework's loaders sniff gzip by magic bytes, so gz content
+        # can carry the pipeline's plain .bg names (a 3 Gbp plain track is
+        # ~63 GB of text x2 — more than this box's disk)
+        for suffix in (".cov-total.bg", ".cov-mq20.bg"):
+            os.replace(os.path.join(workdir, "asm" + suffix + ext),
+                       os.path.join(workdir, "asm" + suffix))
     log("bedgraphs%s in %.0fs" % (" (gz)" if gz else "", time.time() - t0))
     with open(os.path.join(workdir, "asm.bp.p_ctg.lowQ.bed"), "w") as f:
         for i, ln in enumerate(lens):
@@ -76,60 +95,119 @@ def gen(workdir: str, mbp: float, gz: bool = False):
                 f.write("ptg%06dl\t%d\t%d\n" % (i, a, a + 20000))
 
 
+_FOOTER_RE = None
+
+
+def _run_footer(argv, stdout_path=None, env=None):
+    """Run a subprocess whose stderr footer reports its own peak RSS (both
+    our CLI and the reference binary print '... Peak RAM: X GB'); returns
+    (wall_s, peak_gb, stderr_text)."""
+    import re
+    t0 = time.time()
+    so = open(stdout_path, "w") if stdout_path else subprocess.DEVNULL
+    try:
+        p = subprocess.run(argv, stdout=so, stderr=subprocess.PIPE,
+                           env=env, text=True)
+    finally:
+        if stdout_path:
+            so.close()
+    wall = time.time() - t0
+    if p.returncode != 0:
+        sys.stderr.write(p.stderr)
+        raise RuntimeError("command failed: %s" % argv)
+    m = None
+    for m in re.finditer(r"Peak RAM:\s*([0-9.]+)\s*GB", p.stderr):
+        pass
+    return wall, float(m.group(1)) if m else None, p.stderr
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--mbp", type=float, default=50)
     ap.add_argument("--workdir", default="/tmp/scale")
+    ap.add_argument("--gz", action="store_true",
+                    help="gz-content coverage tracks under plain .bg "
+                         "names (3 Gbp plain tracks exceed this disk); "
+                         "the reference binary cannot read these, so the "
+                         "oracle diff is skipped")
+    ap.add_argument("--json", default=None,
+                    help="write stage wall-clock/RSS results to this file")
+    ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--ref-bin",
+                    default=os.environ.get("CORNETTO_C",
+                                           "/tmp/refsrc/cornetto"))
     args = ap.parse_args()
     wd = args.workdir
-    gen(wd, args.mbp)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    results = {"mbp": args.mbp, "gz_tracks": args.gz, "stages": {}}
+    if not args.skip_gen:
+        t0 = time.time()
+        gen(wd, args.mbp, gz=args.gz)
+        results["stages"]["generate"] = {"wall_s": round(time.time() - t0,
+                                                         1)}
     os.chdir(wd)
+    results["track_bytes_on_disk"] = (
+        os.path.getsize("asm.cov-total.bg")
+        + os.path.getsize("asm.cov-mq20.bg"))
 
-    from cornetto_tpu.pipelines import create_cornetto, telostats
-    from cornetto_tpu.tools import boringbits
+    # the hot tool, our CLI as its own process so the footer RSS is clean.
+    # PYTHONPATH resolves the package from the workdir CWD;
+    # CORNETTO_FORCE_CPU pins jax to CPU (the axon plugin ignores
+    # JAX_PLATFORMS, and PYTHONPATH breaks its discovery anyway)
+    cli = [sys.executable, "-m", "cornetto_tpu.cli"]
+    env = dict(os.environ, PYTHONPATH=repo, CORNETTO_FORCE_CPU="1")
+    wall, rss, _ = _run_footer(
+        cli + ["noboringbits", "asm.cov-total.bg", "-q", "asm.cov-mq20.bg"],
+        stdout_path="my_fun.txt", env=env)
+    log("our noboringbits %.1fs peakRSS %s GB" % (wall, rss))
+    results["stages"]["noboringbits_ours"] = {"wall_s": round(wall, 1),
+                                              "peak_rss_gb": rss}
 
-    # oracle diff for the hot tool, when available
-    oracle = os.environ.get("CORNETTO_C", "/tmp/refbuild/cornetto")
-    if os.path.exists(oracle):
-        t0 = time.time()
-        subprocess.run([oracle, "noboringbits", "asm.cov-total.bg",
-                        "-q", "asm.cov-mq20.bg"],
-                       stdout=open("ref_fun.txt", "w"),
-                       stderr=subprocess.DEVNULL)
-        log("reference noboringbits %.1fs" % (time.time() - t0))
-        t0 = time.time()
-        out = io.StringIO()
-        boringbits.run("asm.cov-total.bg", "asm.cov-mq20.bg",
-                       boringbits.BoringbitsOptions(boring=False,
-                                                    backend="numpy"),
-                       out=out)
-        open("my_fun.txt", "w").write(out.getvalue())
-        log("our noboringbits %.1fs" % (time.time() - t0))
+    # oracle diff for the hot tool (plain-text tracks only: the reference
+    # fscanf-parses, /root/reference/src/boringbits_main.c:184-214)
+    if os.path.exists(args.ref_bin) and not args.gz:
+        wall, rss, _ = _run_footer(
+            [args.ref_bin, "noboringbits", "asm.cov-total.bg",
+             "-q", "asm.cov-mq20.bg"], stdout_path="ref_fun.txt")
+        log("reference noboringbits %.1fs peakRSS %s GB" % (wall, rss))
+        results["stages"]["noboringbits_reference_C"] = {
+            "wall_s": round(wall, 1), "peak_rss_gb": rss}
         same = open("ref_fun.txt").read() == open("my_fun.txt").read()
         log("noboringbits outputs identical: %s" % same)
+        results["noboringbits_byte_identical_vs_reference"] = same
         assert same
 
-    t0 = time.time()
     if os.path.isdir("tmp_create_cornetto"):
         import shutil
         shutil.rmtree("tmp_create_cornetto")
-    create_cornetto.run("asm.fasta", backend="numpy")
-    log("create-panel %.1fs -> %s" % (
-        time.time() - t0,
-        sum(1 for _ in open("asm.boringbits.bed"))))
+    wall, rss, _ = _run_footer(
+        cli + ["create-panel", "asm.fasta", "--backend=numpy"], env=env)
+    panel_rows = sum(1 for _ in open("asm.boringbits.bed"))
+    log("create-panel %.1fs peakRSS %s GB -> %d rows" % (wall, rss,
+                                                         panel_rows))
+    results["stages"]["create_panel"] = {"wall_s": round(wall, 1),
+                                         "peak_rss_gb": rss,
+                                         "panel_rows": panel_rows}
 
-    t0 = time.time()
-    telostats.run("asm.fasta", out=io.StringIO())
-    log("telostats %.1fs" % (time.time() - t0))
+    wall, rss, _ = _run_footer(cli + ["telostats", "asm.fasta"], env=env)
+    log("telostats %.1fs peakRSS %s GB" % (wall, rss))
+    results["stages"]["telostats"] = {"wall_s": round(wall, 1),
+                                      "peak_rss_gb": rss}
 
-    t0 = time.time()
-    from cornetto_tpu.io.fasta import read_fastx
-    from cornetto_tpu.livefish.index import build_index
-    contigs = {r.name: r.seq for r in read_fastx("asm.fasta")}
-    idx = build_index(contigs)
-    log("livefish index %.1fs (%d entries, %d buckets x %d)" % (
-        time.time() - t0, int(idx.shard_counts.sum()),
-        idx.btable.shape[1], idx.bucket_slots))
+    wall, rss, _ = _run_footer(
+        cli + ["livefish", "index", "asm.fasta", "-o", "asm.lfidx",
+               "-p", "asm.boringbits.bed"], env=env)
+    log("livefish index %.1fs peakRSS %s GB" % (wall, rss))
+    results["stages"]["livefish_index"] = {"wall_s": round(wall, 1),
+                                           "peak_rss_gb": rss}
+
+    if args.json:
+        import json
+        path = args.json if os.path.isabs(args.json) \
+            else os.path.join(repo, args.json)
+        with open(path, "w") as f:
+            json.dump(results, f, indent=1)
+        log("results -> %s" % path)
     log("OK")
     return 0
 

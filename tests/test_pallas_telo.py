@@ -105,3 +105,24 @@ def test_telofind_device_backend_golden_ccctaa():
     telofind.run(fasta, "CCCTAA", backend="device", interpret=True, out=buf)
     with open(golden) as f:
         assert buf.getvalue() == f.read()
+
+
+def test_telofind_cli_backend_flag():
+    """`telofind <fa> --backend device` (the CLI convention promoted from
+    the round-2 CORNETTO_TELOFIND_DEVICE env var) matches the golden; the
+    env var still works for back-compat."""
+    import contextlib
+    from cornetto_tpu.tools import telofind
+    fasta = os.path.join(TD, "synth", "asm.fasta")
+    golden = os.path.join(TD, "golden", "telofind.txt")
+    for argv in ([fasta, "--backend", "device"],
+                 [fasta, "--backend=device"]):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert telofind.main(argv) == 0
+        with open(golden) as f:
+            assert buf.getvalue() == f.read()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert telofind.main([fasta, "--backend", "nope"]) == 1
+    assert buf.getvalue() == ""
