@@ -40,3 +40,29 @@ def gold():
 @pytest.fixture(scope="session")
 def bigenough_fixtures():
     return DATA / "bigenough"
+
+
+# ---- slow-test lanes (round-2 verdict item #9) -------------------------
+# `pytest -q` is the fast inner loop (< 5 min); slow tiers (multiprocess
+# gloo runs, composed-pipeline goldens, crash-injection, 20 Mbp diffs)
+# run with --runslow, which CI always passes.  RUNSLOW=1 also enables
+# them (for the driver's plain `pytest tests/` invocations).
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="run tests marked slow (CI always does)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running tier, deselected unless --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("RUNSLOW") == "1":
+        return
+    skip = pytest.mark.skip(reason="slow tier: pass --runslow (CI does)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -63,7 +63,7 @@ CORNETTO_NATIVE_SANITIZE=1 \
 LD_PRELOAD="$LIBASAN $LIBUBSAN" \
 ASAN_OPTIONS="detect_leaks=0:halt_on_error=1:abort_on_error=1" \
 UBSAN_OPTIONS="halt_on_error=1:abort_on_error=1" \
-python3 -m pytest -x -q \
+python3 -m pytest -x -q --runslow \
     tests/test_livefish_stream.py \
     tests/test_sdust_device.py \
     tests/test_bam_write.py \

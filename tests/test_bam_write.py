@@ -39,6 +39,7 @@ def test_bgzf_writer_roundtrip(tmp_path):
     assert f.n_blocks >= 4   # 3 data blocks + EOF marker
 
 
+@pytest.mark.slow  # whole-file BGZF deflate/inflate, ~1-2 min
 def test_bam_rewrite_identical(tmp_path):
     src = BamFile(EXAMPLE)
     out = str(tmp_path / "rw.bam")
@@ -93,6 +94,7 @@ def test_build_bai_on_existing(tmp_path):
         assert got == want
 
 
+@pytest.mark.slow  # whole-file BGZF deflate/inflate, ~1-2 min
 def test_merge_sorted_bams(tmp_path):
     src = BamFile(EXAMPLE)
     recs = _raw_records(src)

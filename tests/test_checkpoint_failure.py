@@ -18,6 +18,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # slow: 8 subprocess lives each importing jax
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(HERE, "_ckpt_worker.py")
 REPO = os.path.dirname(HERE)

@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # slow: two real gloo process groups, minutes of wall
+
 HERE = os.path.dirname(os.path.abspath(__file__))
 WORKER = os.path.join(HERE, "_mp_worker.py")
 REPO = os.path.dirname(HERE)
