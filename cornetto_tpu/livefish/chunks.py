@@ -91,7 +91,7 @@ class ChunkDecisionEngine:
         # chip — so the default stays 0 (decide synchronously every tick).
         self.pipeline_depth = pipeline_depth
         self._inflight: List[tuple] = []
-        C = n_channels
+        C = self.n_channels = n_channels
         self._buf = np.full((C, self.max_len), 4, dtype=np.uint8)
         self._blen = np.zeros(C, dtype=np.int64)
         self._chunks = np.zeros(C, dtype=np.int64)
@@ -186,6 +186,117 @@ class ChunkDecisionEngine:
         return out
 
 
+class DeviceChunkEngine(ChunkDecisionEngine):
+    """Read-until state machine with the accumulated per-channel prefixes
+    resident ON DEVICE (ROADMAP: "live per-channel state on device").
+
+    ChunkDecisionEngine re-uploads every pending channel's FULL
+    accumulated prefix each tick; on the latency/bandwidth-bound axon
+    tunnel that is max_len/4 packed bytes per channel per tick.  Here the
+    device holds a (C+1, max_chunks, chunk_len/4) 2-bit-packed buffer and
+    each tick ships only the NEW chunk (chunk_len/4 bytes + 12 B of
+    indices/lengths per channel) — up to max_chunks x fewer uploaded
+    bytes — then scatter + prefix gather + decision run as ONE jitted,
+    buffer-donating call (decide.chunk_tick_core), so a tick still costs a
+    single dispatch and a single (2, B) fused readback.
+
+    Decisions are bit-identical to ChunkDecisionEngine (the per-read
+    lengths mask reproduces the host padding exactly; tested).
+
+    Constraints (both are the sequencer operating model, asserted here):
+    - chunk_len % 4 == 0 and chunks arrive as fixed chunk_len-sized
+      pieces, except a read's final piece which may be shorter;
+    - chunks are pure ACGT (the basecaller norm): 2-bit chunk slots
+      cannot carry N.  Use ChunkDecisionEngine for N-containing input.
+    """
+
+    def __init__(self, engine, n_channels: int, chunk_len: int,
+                 policy: ChunkPolicy = ChunkPolicy(), batch: int = 512,
+                 pipeline_depth: int = 0):
+        super().__init__(engine, n_channels, chunk_len, policy, batch,
+                         pipeline_depth)
+        if chunk_len % 4:
+            raise ValueError("DeviceChunkEngine needs chunk_len %% 4 == 0 "
+                             "(got %d)" % chunk_len)
+        # replaces the host-side (C, max_len) code buffer entirely
+        self._buf = None
+        self._dev_buf = engine.init_chunk_state(n_channels, chunk_len,
+                                                policy.max_chunks)
+        self._pad_chan = n_channels          # sacrificial scatter row
+
+    def process(self, events: Sequence[ChunkEvent]) -> List[ChunkDecision]:
+        pending: List[int] = []
+        stage: List[tuple] = []              # (chan, slot, codes)
+        for ev in events:
+            c = ev.channel
+            if ev.read_id != self._read_id[c]:
+                self._reset_channel(c, ev.read_id)
+            if self._done[c]:
+                continue
+            codes = encode_seq(ev.seq)
+            if len(codes) > self.chunk_len:
+                raise ValueError(
+                    "chunk of %d bases on channel %d exceeds chunk_len=%d"
+                    % (len(codes), c, self.chunk_len))
+            if codes.size and codes.max() >= 4:
+                raise ValueError(
+                    "non-ACGT base in chunk on channel %d: the on-device "
+                    "2-bit state cannot carry N (use ChunkDecisionEngine)"
+                    % c)
+            n = int(self._blen[c])
+            if n % self.chunk_len:
+                raise ValueError(
+                    "channel %d got a new chunk after a short piece "
+                    "(accumulated %d bases): short chunks must be final"
+                    % (c, n))
+            take = min(len(codes), self.max_len - n)
+            if take > 0:
+                stage.append((c, n // self.chunk_len, codes[:take]))
+                self._blen[c] = n + take
+            else:
+                # buffer already full (pipelined channel awaiting its
+                # decision): nothing new to write, still re-decide
+                stage.append((self._pad_chan, 0, codes[:0]))
+            self._chunks[c] += 1
+            pending.append(c)
+        for i in range(0, len(pending), self.batch):
+            self._submit_staged(pending[i:i + self.batch],
+                                stage[i:i + self.batch])
+        out: List[ChunkDecision] = []
+        while len(self._inflight) > self.pipeline_depth:
+            out.extend(self._resolve(self._inflight.pop(0)))
+        return out
+
+    def _reset_channel(self, c: int, read_id: str) -> None:
+        # no host buffer to clear: stale device chunk slots of the
+        # previous read are masked out by the per-read lengths
+        self._blen[c] = 0
+        self._chunks[c] = 0
+        self._read_id[c] = read_id
+        self._done[c] = False
+
+    def _submit_staged(self, chans: List[int], stage: List[tuple]) -> None:
+        B = self.batch
+        rows = np.zeros((B, self.chunk_len), dtype=np.uint8)
+        sc = np.full(B, self._pad_chan, dtype=np.int32)
+        slots = np.zeros(B, dtype=np.int32)
+        dc = np.full(B, self._pad_chan, dtype=np.int32)
+        lengths = np.zeros(B, dtype=np.int32)
+        for i, (c, slot, codes) in enumerate(stage):
+            rows[i, :len(codes)] = codes
+            sc[i] = c
+            slots[i] = slot
+        dc[:len(chans)] = chans
+        lengths[:len(chans)] = self._blen[chans]
+        packed = (rows[:, 0::4] | (rows[:, 1::4] << 2)
+                  | (rows[:, 2::4] << 4) | (rows[:, 3::4] << 6))
+        self._dev_buf, fused = self.engine.decide_chunk_tick(
+            self._dev_buf, packed, sc, slots, dc, lengths)
+        self._inflight.append((list(chans), fused,
+                               self._chunks[chans].copy(),
+                               [self._read_id[c] for c in chans]))
+
+
 # ---------------------------------------------------------------------------
 # read-until replay simulation (the test/benchmark harness the reference
 # lacks: it validates the control loop end-to-end without a sequencer)
@@ -215,7 +326,7 @@ def replay_read_until(engine: ChunkDecisionEngine,
     unblock_overhead: bases already sequenced by the time an unblock takes
     effect (pore traversal + basecall latency), charged to every unblock.
     """
-    C = engine._buf.shape[0]
+    C = engine.n_channels
     chunk_len = engine.chunk_len
     m = ReplayMetrics()
     queue = list(reads)

@@ -103,17 +103,19 @@ def _cmd_replay(argv) -> int:
     from cornetto_tpu.io.fasta import read_fastx
     from cornetto_tpu.livefish.chunks import (ChunkDecisionEngine,
                                               ChunkPolicy,
+                                              DeviceChunkEngine,
                                               replay_read_until)
     from cornetto_tpu.livefish.decide import SingleChipEngine
     from cornetto_tpu.livefish.index import build_panel_mask
     opts, args = _getopt.gnu_getopt(
         argv, "c:n:m:p:b:u:d:",
         ["chunk=", "channels=", "max-chunks=", "panel=", "batch=",
-         "unblock-overhead=", "pipeline-depth="])
+         "unblock-overhead=", "pipeline-depth=", "state="])
     chunk_len, channels, max_chunks, batch = 450, 512, 4, 512
     panel_path = None
     overhead = 500
     pipeline_depth = 0
+    state = "host"
     for flag, val in opts:
         if flag in ("-c", "--chunk"):
             chunk_len = int(val)
@@ -129,21 +131,32 @@ def _cmd_replay(argv) -> int:
             overhead = int(val)
         elif flag in ("-d", "--pipeline-depth"):
             pipeline_depth = int(val)
+        elif flag == "--state":
+            state = val
     if len(args) != 2:
         sys.stderr.write("Usage: cornetto livefish replay <index> "
                          "<reads.fastq> [-c chunk] [-n channels] "
                          "[-m max_chunks] [-p panel.bed] "
-                         "[-u unblock_overhead] [-d pipeline_depth]\n")
+                         "[-u unblock_overhead] [-d pipeline_depth] "
+                         "[--state host|device]\n")
         return 1
     idx, panel, _ = _load_index_or_die(args[0])
     if panel_path:
         panel = build_panel_mask(idx, read_bed3(panel_path))
     if panel is None:
         log.die("no panel: build the index with -p or pass -p here")
-    eng = ChunkDecisionEngine(SingleChipEngine(idx, panel),
-                              n_channels=channels, chunk_len=chunk_len,
-                              policy=ChunkPolicy(max_chunks=max_chunks),
-                              batch=batch, pipeline_depth=pipeline_depth)
+    if state not in ("host", "device"):
+        log.die("--state must be host or device (got %s)" % state)
+    # --state device keeps accumulated per-channel prefixes ON DEVICE and
+    # uploads only each tick's new chunk bytes (DeviceChunkEngine);
+    # requires pure-ACGT chunks and chunk_len %% 4 == 0
+    cls = DeviceChunkEngine if state == "device" else ChunkDecisionEngine
+    if state == "device" and chunk_len % 4:
+        log.die("--state device needs chunk_len %% 4 == 0")
+    eng = cls(SingleChipEngine(idx, panel),
+              n_channels=channels, chunk_len=chunk_len,
+              policy=ChunkPolicy(max_chunks=max_chunks),
+              batch=batch, pipeline_depth=pipeline_depth)
     reads = [(rec.name, rec.seq, False) for rec in read_fastx(args[1])]
     m = replay_read_until(eng, reads, unblock_overhead=overhead)
     out = sys.stdout

@@ -308,6 +308,67 @@ class SingleChipEngine:
                         None if nmask is None else jnp.asarray(nmask),
                         self._panel, **kw)
 
+    def init_chunk_state(self, n_channels: int, chunk_len: int,
+                         max_chunks: int):
+        """Allocate the on-device packed chunk buffer for
+        livefish.chunks.DeviceChunkEngine: row n_channels is the
+        sacrificial scatter row for batch padding."""
+        import jax.numpy as jnp
+        assert chunk_len % 4 == 0, "chunk_len must pack to whole bytes"
+        return jnp.zeros((n_channels + 1, max_chunks, chunk_len // 4),
+                         dtype=jnp.uint8)
+
+    def decide_chunk_tick(self, buf, rows, s_chans, s_slots, d_chans,
+                          lengths):
+        """Scatter this tick's new packed chunk rows into the donated
+        device buffer, then decide the accumulated prefixes — one jitted
+        call, one (2, B) fused readback (see chunk_tick_core).  Returns
+        (new_buf, fused); decode fused with unpack_fused."""
+        import jax
+        import jax.numpy as jnp
+        cache = getattr(self, "_ctick", None)
+        if cache is None:
+            cache = self._ctick = {}
+        key = (buf.shape, rows.shape[0])
+        if key not in cache:
+            idx, params = self._index, self._params
+            L = buf.shape[1] * buf.shape[2] * 4
+            cache[key] = jax.jit(functools.partial(
+                chunk_tick_core, L=L, k=idx.k, w=idx.w,
+                min_hits=params.min_hits, bin_size=params.bin_size,
+                bucket_shift=idx.bucket_shift,
+                use_pallas=self._use_pallas), donate_argnums=(0,))
+        return cache[key](buf, self._btable, jnp.asarray(rows),
+                          jnp.asarray(s_chans), jnp.asarray(s_slots),
+                          jnp.asarray(d_chans), jnp.asarray(lengths),
+                          self._panel)
+
+
+def chunk_tick_core(buf, btable, rows, s_chans, s_slots, d_chans, lengths,
+                    panel_mask, **kw):
+    """One read-until tick with the accumulated per-channel chunk state
+    living ON DEVICE (livefish.chunks.DeviceChunkEngine).
+
+    buf: (C+1, max_chunks, chunk_len//4) uint8 — 2-bit packed chunk slots
+    per channel (row C is a sacrificial scatter target for batch padding).
+    rows/s_chans/s_slots: this tick's NEW chunk bytes and where they land
+    (s_chans = C for pad rows or channels with nothing new).
+    d_chans/lengths: the channels to DECIDE and their accumulated read
+    lengths — kept separate from the scatter targets because a pipelined
+    channel can need a re-decision with no new chunk to write.
+
+    The scatter, the per-channel prefix gather and the decision all run in
+    ONE jitted program: through the axon tunnel every dispatch costs
+    ~10 ms of latency, and per-tick upload drops from the full accumulated
+    prefix (max_len/4 B/channel, re-sent every tick) to just the new chunk
+    (chunk_len/4 B) — ~max_chunks x fewer bytes on the latency-bound path.
+    """
+    import jax.numpy as jnp
+    buf = buf.at[s_chans, s_slots].set(rows)
+    g = jnp.take(buf, d_chans, axis=0).reshape(d_chans.shape[0], -1)
+    return buf, decision_core_packed_fused(btable, g, None, panel_mask,
+                                           lengths=lengths, **kw)
+
 
 def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
                         params: DecisionParams = DecisionParams()):

@@ -140,11 +140,22 @@ def main():
     wd = args.workdir
     repo = os.path.dirname(os.path.abspath(__file__))
     results = {"mbp": args.mbp, "gz_tracks": args.gz, "stages": {}}
+
+    def flush_json():
+        # checkpoint after every stage so an interrupted run still
+        # leaves the completed-stage numbers on disk
+        if args.json:
+            import json
+            path = args.json if os.path.isabs(args.json) \
+                else os.path.join(repo, args.json)
+            with open(path, "w") as f:
+                json.dump(results, f, indent=1)
     if not args.skip_gen:
         t0 = time.time()
         gen(wd, args.mbp, gz=args.gz)
         results["stages"]["generate"] = {"wall_s": round(time.time() - t0,
                                                          1)}
+        flush_json()
     os.chdir(wd)
     results["track_bytes_on_disk"] = (
         os.path.getsize("asm.cov-total.bg")
@@ -162,6 +173,7 @@ def main():
     log("our noboringbits %.1fs peakRSS %s GB" % (wall, rss))
     results["stages"]["noboringbits_ours"] = {"wall_s": round(wall, 1),
                                               "peak_rss_gb": rss}
+    flush_json()
 
     # oracle diff for the hot tool (plain-text tracks only: the reference
     # fscanf-parses, /root/reference/src/boringbits_main.c:184-214)
@@ -175,6 +187,7 @@ def main():
         same = open("ref_fun.txt").read() == open("my_fun.txt").read()
         log("noboringbits outputs identical: %s" % same)
         results["noboringbits_byte_identical_vs_reference"] = same
+        flush_json()
         assert same
 
     if os.path.isdir("tmp_create_cornetto"):
@@ -188,11 +201,13 @@ def main():
     results["stages"]["create_panel"] = {"wall_s": round(wall, 1),
                                          "peak_rss_gb": rss,
                                          "panel_rows": panel_rows}
+    flush_json()
 
     wall, rss, _ = _run_footer(cli + ["telostats", "asm.fasta"], env=env)
     log("telostats %.1fs peakRSS %s GB" % (wall, rss))
     results["stages"]["telostats"] = {"wall_s": round(wall, 1),
                                       "peak_rss_gb": rss}
+    flush_json()
 
     wall, rss, _ = _run_footer(
         cli + ["livefish", "index", "asm.fasta", "-o", "asm.lfidx",
@@ -200,14 +215,11 @@ def main():
     log("livefish index %.1fs peakRSS %s GB" % (wall, rss))
     results["stages"]["livefish_index"] = {"wall_s": round(wall, 1),
                                            "peak_rss_gb": rss}
+    flush_json()
 
+    flush_json()
     if args.json:
-        import json
-        path = args.json if os.path.isabs(args.json) \
-            else os.path.join(repo, args.json)
-        with open(path, "w") as f:
-            json.dump(results, f, indent=1)
-        log("results -> %s" % path)
+        log("results -> %s" % args.json)
     log("OK")
     return 0
 

@@ -6,7 +6,8 @@ import pytest
 from cornetto_tpu.kernels.minimizer import encode_seq
 from cornetto_tpu.livefish.chunks import (PROCEED, STOP_RECEIVING, UNBLOCK,
                                           ChunkDecisionEngine, ChunkEvent,
-                                          ChunkPolicy, replay_read_until)
+                                          ChunkPolicy, DeviceChunkEngine,
+                                          replay_read_until)
 from cornetto_tpu.livefish.decide import SingleChipEngine
 from cornetto_tpu.livefish.index import build_index, build_panel_mask
 
@@ -172,6 +173,128 @@ def test_pipelined_late_decision_dropped_on_new_read(setup):
     acts = {d.read_id: d.action for d in ce.drain()}
     assert "old" not in acts              # stale decision dropped
     assert acts == {"new": STOP_RECEIVING}
+
+
+def _mk_reads(genome, n_each=15, rlen=1600, seed=9):
+    rng = np.random.default_rng(seed)
+    reads = []
+    for i in range(n_each):   # panel-origin (boring) reads
+        s = int(rng.integers(21000, 38000 - rlen))
+        reads.append(("b%d" % i, genome["ctgA"][s:s + rlen], True))
+    for i in range(n_each):   # fun-region reads
+        s = int(rng.integers(42000, 58000 - rlen))
+        reads.append(("f%d" % i, genome["ctgA"][s:s + rlen], False))
+    rng.shuffle(reads)
+    return reads
+
+
+def test_device_chunk_engine_matches_host_engine(setup):
+    """DeviceChunkEngine (per-channel state on device, only new chunk
+    bytes uploaded per tick) emits decisions identical to the
+    host-prefix ChunkDecisionEngine across a whole replay."""
+    genome, _, eng = setup
+    reads = _mk_reads(genome)
+    pol = ChunkPolicy(max_chunks=4, no_map_action=UNBLOCK)
+    decs = {}
+    for cls in (ChunkDecisionEngine, DeviceChunkEngine):
+        ce = cls(eng, n_channels=8, chunk_len=200, policy=pol, batch=8)
+        got = []
+        # drive both engines through identical event sequences
+        queue = list(reads)
+        active = {}
+        for c in range(8):
+            if queue:
+                active[c] = [queue.pop(0), 0]
+        while active:
+            events = []
+            for c, (rd, off) in list(active.items()):
+                rid, seq, _ = rd
+                if off < len(seq):
+                    events.append(ChunkEvent(c, rid,
+                                             seq[off:off + 200]))
+                    active[c][1] = off + 200
+                else:
+                    if queue:
+                        active[c] = [queue.pop(0), 0]
+                    else:
+                        del active[c]
+            if not events and not active:
+                break
+            for d in ce.process(events):
+                got.append((d.read_id, d.action, d.n_chunks,
+                            d.contig, d.pos, d.nhits))
+        got.extend((d.read_id, d.action, d.n_chunks, d.contig, d.pos,
+                    d.nhits) for d in ce.drain())
+        decs[cls.__name__] = sorted(got)
+    assert decs["DeviceChunkEngine"] == decs["ChunkDecisionEngine"]
+    assert len(decs["DeviceChunkEngine"]) >= 25
+
+
+def test_device_chunk_engine_replay_and_reset(setup):
+    """Replay harness runs unchanged over DeviceChunkEngine; channel
+    recycling (stale device slots masked by lengths) keeps rejections
+    exact."""
+    genome, _, eng = setup
+    reads = _mk_reads(genome, n_each=20)
+    ce = DeviceChunkEngine(eng, n_channels=8, chunk_len=200,
+                           policy=ChunkPolicy(max_chunks=4), batch=8)
+    m = replay_read_until(ce, reads, unblock_overhead=100)
+    assert m.n_reads == 40
+    assert m.true_reject == 20 and m.false_reject == 0
+    assert m.n_stop_receiving == 20
+
+
+def test_device_chunk_engine_pipelined(setup):
+    """pipeline_depth > 0 exercises the re-decide-without-new-data path
+    (scatter row = sacrificial pad row)."""
+    genome, _, eng = setup
+    reads = _mk_reads(genome, n_each=10)
+    ce = DeviceChunkEngine(eng, n_channels=8, chunk_len=200,
+                           policy=ChunkPolicy(max_chunks=4), batch=8,
+                           pipeline_depth=2)
+    m = replay_read_until(ce, reads, unblock_overhead=100)
+    assert m.n_reads == 20
+    assert m.false_reject == 0
+    assert m.true_reject >= 8      # latency may let a tail read slip
+
+
+def test_device_chunk_engine_input_contract(setup):
+    _, _, eng = setup
+    with pytest.raises(ValueError, match="chunk_len"):
+        DeviceChunkEngine(eng, n_channels=2, chunk_len=201)
+    ce = DeviceChunkEngine(eng, n_channels=2, chunk_len=200, batch=2)
+    with pytest.raises(ValueError, match="non-ACGT"):
+        ce.process([ChunkEvent(0, "r0", "ACGTN" * 8)])
+    with pytest.raises(ValueError, match="exceeds chunk_len"):
+        ce.process([ChunkEvent(1, "r1", "A" * 300)])
+    # a short FINAL piece is fine; a follow-up chunk after it is not
+    ce.process([ChunkEvent(0, "r2", "ACGT" * 10)])
+    with pytest.raises(ValueError, match="short"):
+        ce.process([ChunkEvent(0, "r2", "ACGT" * 50)])
+
+
+def test_cli_replay_state_device_matches_host(setup, tmp_path, capsys):
+    """`livefish replay --state device` emits the same savings report as
+    the default host-state engine."""
+    from cornetto_tpu.dist.checkpoint import save_index
+    from cornetto_tpu.livefish import cli as lcli
+    from cornetto_tpu.livefish.index import build_index, build_panel_mask
+    genome, panel_rows, _ = setup
+    idx = build_index(genome, n_shards=1)
+    panel = build_panel_mask(idx, panel_rows)
+    save_index(str(tmp_path / "idx"), idx, panel_mask=panel)
+    fq = tmp_path / "reads.fastq"
+    with open(fq, "w") as f:
+        for i, (rid, seq, _) in enumerate(_mk_reads(genome, n_each=6)):
+            f.write("@%s\n%s\n+\n%s\n" % (rid, seq, "I" * len(seq)))
+    reports = {}
+    for state in ("host", "device"):
+        rc = lcli.main(["replay", str(tmp_path / "idx"), str(fq),
+                        "-c", "200", "-n", "4", "--state", state])
+        assert rc == 0
+        reports[state] = capsys.readouterr().out
+    assert reports["device"] == reports["host"]
+    assert "unblocked\t" in reports["host"]
 
 
 def test_replay_pipelined_matches_sync_savings(setup):
