@@ -312,6 +312,45 @@ def main() -> int:
                 "(see ROADMAP round-3 root-cause note)",
     }
 
+    # read-until chunk replay through the tunnel: host-state engine
+    # (re-uploads every pending channel's full accumulated prefix each
+    # tick) vs DeviceChunkEngine (per-channel prefixes live on device;
+    # only the new chunk's bytes upload).  Both emit identical decisions;
+    # the device-state win grows with channel count because per-tick
+    # upload drops from max_len/4 to chunk_len/4 + 12 B per channel.
+    from cornetto_tpu.livefish.chunks import (ChunkDecisionEngine,
+                                              ChunkEvent, ChunkPolicy,
+                                              DeviceChunkEngine,
+                                              replay_read_until)
+    CR, RL, CL = 2048, 1600, 400
+    reads_ru = []
+    for i in range(8192):
+        if i % 2 == 0:
+            s = int(rng.integers(0, len(g0) - RL))
+            reads_ru.append(("r%d" % i, g0[s:s + RL], False))
+        else:
+            reads_ru.append(
+                ("j%d" % i, "".join(bases[rng.integers(0, 4, RL)]), False))
+    pol = ChunkPolicy(max_chunks=4)
+    entry = {"channels": CR, "chunk_len": CL,
+             "upload_B_per_chan_tick": {"host_state": RL // 4,
+                                        "device_state": CL // 4 + 12}}
+    for nm, cls in (("host_state", ChunkDecisionEngine),
+                    ("device_state", DeviceChunkEngine)):
+        cls(eng, n_channels=CR, chunk_len=CL, policy=pol,
+            batch=CR).process(
+            [ChunkEvent(c, "w%d" % c, reads_ru[c][1][:CL])
+             for c in range(CR)])   # compile the (CR, CL) tick shapes
+        ce = cls(eng, n_channels=CR, chunk_len=CL, policy=pol, batch=CR)
+        t0 = time.perf_counter()
+        m = replay_read_until(ce, reads_ru)
+        entry[nm] = {"reads_per_s": round(m.n_reads
+                                          / (time.perf_counter() - t0), 1)}
+    entry["speedup_device_vs_host"] = round(
+        entry["device_state"]["reads_per_s"]
+        / entry["host_state"]["reads_per_s"], 2)
+    results["chunk_replay"] = entry
+
     with open("BENCH_KERNELS.json", "w") as fjson:
         json.dump(results, fjson, indent=1)
     sys.stderr.write(json.dumps(results, indent=1) + "\n")
