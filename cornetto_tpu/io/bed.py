@@ -221,25 +221,29 @@ def _bg_fill_error(err, row_base: int) -> None:
     sys.exit(1)
 
 
-def _load_depth_streaming_gz(path: str, window: int = 64 << 20):
-    """Gzip-transparent variant of _load_depth_streaming: inflates the
-    track in `window`-byte row-aligned slices (zlib C speed, multi-member
-    gzip/bgzip/pigz all fine via the gzip module) and runs the native
-    bg_fill parser per slice, stitching contig continuations and the
-    incremental-start validation across slice boundaries.
+def _load_depth_windows(fp, size_hint: int = 0, window: int = 64 << 20,
+                        raw_tell=None):
+    """Shared windowed streaming loader behind _load_depth_streaming:
+    reads `window`-byte row-aligned slices from any file-like `fp`
+    (plain file or gzip stream) and runs the native bg_fill parser per
+    slice, stitching contig continuations and the incremental-start
+    validation across slice boundaries.
 
-    A 3 Gbp 1-bp-resolution track is ~60 GB of text but ~10-15 GB
-    gzipped; this path keeps BOTH the disk footprint (compressed file)
-    AND peak memory (2 B/row depth + one inflated window) human-scale.
-    Returns the same tuple as _load_depth_streaming, or None if the
-    native kernel is unavailable."""
+    Peak memory = 2 B/row (the uint16 depth array) + one window of text,
+    never the whole file: the round-3 plain-text path mmap'd the entire
+    track, which counted ~file-size pages toward peak RSS and lost the
+    at-scale RAM comparison to the reference's fscanf loop
+    (src/boringbits_main.c:204-287).  `size_hint` (the raw file size)
+    sizes the depth array from the observed bytes/row so growth
+    reallocations are rare.  Returns the _load_depth_streaming tuple, or
+    None if the native kernel is unavailable."""
     import ctypes
-    import gzip
     from cornetto_tpu import native
     lib = native.load("bedgraph_native", "bedgraph_native.c")
     if lib is None or not hasattr(lib, "bg_fill"):
         return None
     lib.bg_fill.restype = ctypes.c_int64
+    lib.bg_count_nl.restype = ctypes.c_int64
     p = ctypes.POINTER(ctypes.c_int64)
     u16p = ctypes.POINTER(ctypes.c_uint16)
     nthreads = min(os.cpu_count() or 1, 16)
@@ -254,49 +258,82 @@ def _load_depth_streaming_gz(path: str, window: int = 64 << 20):
     cap = 1 << 22
     depth = np.empty(cap, np.uint16)
     rows_total = 0
+    bytes_seen = 0
     names, firsts, bound_rows = [], [], []
     tr_rows_all, tr_vals_all = [], []
     tr_total = 0
     sum_total = 0
     prev_name = None
     prev_last_start = -1
-
-    with gzip.open(path, "rb") as gz:
-        tail = b""
-        eof = False
+    bufmem = bytearray(window + (1 << 16))
+    npbuf = np.frombuffer(bufmem, dtype=np.uint8)
+    base = ctypes.c_void_p(npbuf.ctypes.data)
+    tail_len = 0
+    eof = False
+    with fp:
         while True:
-            chunk = b"" if eof else gz.read(window)
-            if chunk:
-                data = tail + chunk
-                cut = data.rfind(b"\n")
-                if cut < 0:
-                    tail = data
-                    continue
-                buf, tail = data[:cut + 1], data[cut + 1:]
-            else:
+            # persistent buffer + readinto: a bytes concat/slice shuffle
+            # here costs three full copies of the stream (2x the read
+            # itself); instead the short carried tail is moved to the
+            # buffer head and the window is read in place after it
+            nread = 0 if eof else (fp.readinto(
+                memoryview(bufmem)[tail_len:tail_len + window]) or 0)
+            total_b = tail_len + nread
+            if nread == 0:
                 eof = True
-                buf, tail = tail, b""
-                if not buf:
+                if total_b == 0:
                     break
-            view = np.frombuffer(buf, dtype=np.uint8)
-            wrows = int(np.count_nonzero(view == 10))
-            if buf[-1:] != b"\n":
+                blen = total_b          # final rows, maybe no trailing LF
+            else:
+                cut = bufmem.rfind(b"\n", 0, total_b)
+                if cut < 0:
+                    # no full row yet (window smaller than one row):
+                    # grow the buffer and keep reading
+                    if total_b + window > len(bufmem):
+                        bufmem.extend(bytes(len(bufmem)))
+                        npbuf = np.frombuffer(bufmem, dtype=np.uint8)
+                        base = ctypes.c_void_p(npbuf.ctypes.data)
+                    tail_len = total_b
+                    continue
+                blen = cut + 1
+            wrows = int(lib.bg_count_nl(base, ctypes.c_int64(blen),
+                                        ctypes.c_int(nthreads)))
+            if bufmem[blen - 1] != 10:
                 wrows += 1
             if wrows == 0:
+                tail_len = 0 if eof else total_b - blen
                 continue
-            while rows_total + wrows > cap:
-                cap *= 2
+
+            def projected():
+                # total-row projection from bytes/row so far; size_hint is
+                # the raw file size (for gz, raw_tell reports compressed
+                # bytes consumed, scaling the hint to decompressed bytes)
+                seen = bytes_seen + blen
+                total = size_hint
+                if raw_tell is not None:
+                    done = raw_tell()
+                    if done <= 0:
+                        return 0
+                    total = size_hint * ((seen + (total_b - blen)) / done)
+                rate = (rows_total + wrows) / seen
+                return int(rate * total * 1.03) + 4096
+
+            if rows_total == 0 and size_hint > blen:
+                cap = max(cap, projected())
+            need = rows_total + wrows
+            if need > cap:
+                cap = max(need, projected(), cap + (cap >> 2))
             if cap > len(depth):
                 nd = np.empty(cap, np.uint16)
                 nd[:rows_total] = depth[:rows_total]
                 depth = nd
+            bytes_seen += blen
             n_ctg = np.array([ctg_cap], np.int64)
             ssum = np.zeros(1, np.int64)
             n_tr = np.zeros(2, np.int64)
             err = np.zeros(4, np.int64)
             rows = lib.bg_fill(
-                ctypes.c_void_p(view.ctypes.data),
-                ctypes.c_int64(len(buf)), ctypes.c_int(nthreads),
+                base, ctypes.c_int64(blen), ctypes.c_int(nthreads),
                 depth[rows_total:].ctypes.data_as(u16p),
                 ctg_row.ctypes.data_as(p), ctg_off.ctypes.data_as(p),
                 ctg_len.ctypes.data_as(p), ctg_first.ctypes.data_as(p),
@@ -310,8 +347,8 @@ def _load_depth_streaming_gz(path: str, window: int = 64 << 20):
                 _bg_fill_error(err, rows_total)
             nc = int(n_ctg[0])
             for k in range(nc):
-                nm = buf[int(ctg_off[k]):
-                         int(ctg_off[k] + ctg_len[k])].decode()
+                nm = bytes(bufmem[int(ctg_off[k]):
+                                  int(ctg_off[k] + ctg_len[k])]).decode()
                 fs = int(ctg_first[k])
                 if k == 0 and prev_name is not None and nm == prev_name:
                     # contig continues across the window boundary
@@ -334,98 +371,53 @@ def _load_depth_streaming_gz(path: str, window: int = 64 << 20):
             tr_total += int(n_tr[1])
             sum_total += int(ssum[0])
             rows_total += int(rows)
+            if eof:
+                tail_len = 0
+            else:
+                tail_len = total_b - blen
+                if tail_len:
+                    bufmem[0:tail_len] = bufmem[blen:total_b]
 
     bounds = np.append(np.array(bound_rows, np.int64), rows_total)
     trr = (np.concatenate(tr_rows_all) if tr_rows_all
            else np.empty(0, np.int64))
     trv = (np.concatenate(tr_vals_all) if tr_vals_all
            else np.empty(0, np.int64))
+    if len(depth) > rows_total + (rows_total >> 2):
+        depth = depth[:rows_total].copy()   # drop large over-allocation
     return (names, np.array(firsts, np.int64), depth[:rows_total], bounds,
             sum_total, (trr, trv, tr_total))
+
+
+def _load_depth_streaming_gz(path: str, window: int = 64 << 20):
+    """Gzip entry to _load_depth_windows (kept callable with a small
+    `window` so tests can exercise the cross-window stitching).  The raw
+    file handle's tell() lets the loader project total rows from
+    compressed progress, avoiding doubling-growth over-allocation."""
+    import gzip
+    with open(path, "rb") as raw:
+        gz = gzip.GzipFile(fileobj=raw)
+        return _load_depth_windows(gz, size_hint=os.path.getsize(path),
+                                   window=window, raw_tell=raw.tell)
 
 
 def _load_depth_streaming(path: str):
     """Whole-genome streaming load via the native bg_fill kernel: peak
     memory 2 B/row (uint16 depths written directly, no int64 row arrays —
-    the difference between ~6 GB and ~72 GB for a 3 Gbp track).  Gzipped
-    tracks (`samtools depth -aa | gzip`) are inflated in row-aligned
-    windows (_load_depth_streaming_gz).  Returns
+    the difference between ~6 GB and ~72 GB for a 3 Gbp track) plus one
+    text window, for BOTH plain and gzipped tracks
+    (`samtools depth -aa [| gzip]`) — see _load_depth_windows.  Returns
     (names, first_starts, depth_u16, row_bounds, clamped_sum,
     (trunc_rows, trunc_vals, trunc_total)) or None if the native kernel is
     unavailable."""
     if _is_gzip(path):
         return _load_depth_streaming_gz(path)
-    import ctypes
-    import mmap
-    import os as _os
-    from cornetto_tpu import native
-    lib = native.load("bedgraph_native", "bedgraph_native.c")
-    if lib is None or not hasattr(lib, "bg_fill"):
-        return None
-    lib.bg_fill.restype = ctypes.c_int64
-    size = _os.path.getsize(path)
-    empty = (np.empty(0, np.int64), np.empty(0, np.uint16),
-             np.empty(1, np.int64), 0, (np.empty(0, np.int64),
-                                        np.empty(0, np.int64), 0))
+    size = os.path.getsize(path)
     if size == 0:
-        return ([],) + empty
-    with open(path, "rb") as f:
-        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
-    view = np.frombuffer(mm, dtype=np.uint8)
-    n_lines = int(np.count_nonzero(view == 10))
-    if mm[size - 1:size] != b"\n":
-        n_lines += 1
-    if n_lines == 0:
-        return ([],) + empty
-    depth = np.empty(n_lines, dtype=np.uint16)
-    ctg_cap = 1 << 20
-    tr_cap = 1 << 16
-    ctg_row = np.empty(ctg_cap, dtype=np.int64)
-    ctg_off = np.empty(ctg_cap, dtype=np.int64)
-    ctg_len = np.empty(ctg_cap, dtype=np.int64)
-    ctg_first = np.empty(ctg_cap, dtype=np.int64)
-    n_ctg = np.array([ctg_cap], dtype=np.int64)
-    ssum = np.zeros(1, dtype=np.int64)
-    tr_row = np.empty(tr_cap, dtype=np.int64)
-    tr_val = np.empty(tr_cap, dtype=np.int64)
-    n_tr = np.zeros(2, dtype=np.int64)
-    err = np.zeros(4, dtype=np.int64)
-    p = ctypes.POINTER(ctypes.c_int64)
-    u16p = ctypes.POINTER(ctypes.c_uint16)
-    nthreads = min(os.cpu_count() or 1, 16)
-    rows = lib.bg_fill(
-        ctypes.c_void_p(view.ctypes.data), ctypes.c_int64(size),
-        ctypes.c_int(nthreads),
-        depth.ctypes.data_as(u16p),
-        ctg_row.ctypes.data_as(p), ctg_off.ctypes.data_as(p),
-        ctg_len.ctypes.data_as(p), ctg_first.ctypes.data_as(p),
-        n_ctg.ctypes.data_as(p), ssum.ctypes.data_as(p),
-        tr_row.ctypes.data_as(p), tr_val.ctypes.data_as(p),
-        ctypes.c_int64(tr_cap), n_tr.ctypes.data_as(p),
-        err.ctypes.data_as(p))
-    if rows == -2:
-        return None    # > 1M contigs: fall back to the generic path
-    if rows == -1:
-        kind = int(err[1])
-        if kind == 0:
-            log.error("The depth files should have 4 columns. Had fewer "
-                      "at row %d." % int(err[0]))
-        elif kind == 1:
-            log.error("The depth files should have end=start+1. Found %d "
-                      "to %d" % (int(err[2]), int(err[3])))
-        else:
-            log.error("The depth files should be incremantal at one base "
-                      "resolution. Found %d to %d"
-                      % (int(err[2]), int(err[3])))
-        sys.exit(1)
-    nc = int(n_ctg[0])
-    names = [bytes(mm[int(ctg_off[k]):int(ctg_off[k] + ctg_len[k])])
-             .decode() for k in range(nc)]
-    bounds = np.append(ctg_row[:nc], rows)
-    return (names, ctg_first[:nc].copy(), depth[:rows], bounds,
-            int(ssum[0]),
-            (tr_row[:int(n_tr[0])].copy(), tr_val[:int(n_tr[0])].copy(),
-             int(n_tr[1])))
+        return ([], np.empty(0, np.int64), np.empty(0, np.uint16),
+                np.empty(1, np.int64), 0,
+                (np.empty(0, np.int64), np.empty(0, np.int64), 0))
+    return _load_depth_windows(open(path, "rb"), size_hint=size)
 
 
 def _emit_trunc_warnings(name: str, first_start: int, row0: int,

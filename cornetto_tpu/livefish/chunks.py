@@ -258,7 +258,10 @@ class DeviceChunkEngine(ChunkDecisionEngine):
                 # decision): nothing new to write, still re-decide
                 stage.append((self._pad_chan, 0, codes[:0]))
             self._chunks[c] += 1
-            pending.append(c)
+            # carry the post-write length: reading self._blen at submit
+            # time would be stale if the same channel contributed two
+            # chunks in one call that split across batch boundaries
+            pending.append((c, int(self._blen[c])))
         for i in range(0, len(pending), self.batch):
             self._submit_staged(pending[i:i + self.batch],
                                 stage[i:i + self.batch])
@@ -275,8 +278,9 @@ class DeviceChunkEngine(ChunkDecisionEngine):
         self._read_id[c] = read_id
         self._done[c] = False
 
-    def _submit_staged(self, chans: List[int], stage: List[tuple]) -> None:
+    def _submit_staged(self, pend: List[tuple], stage: List[tuple]) -> None:
         B = self.batch
+        chans = [c for c, _ in pend]
         rows = np.zeros((B, self.chunk_len), dtype=np.uint8)
         sc = np.full(B, self._pad_chan, dtype=np.int32)
         slots = np.zeros(B, dtype=np.int32)
@@ -287,7 +291,7 @@ class DeviceChunkEngine(ChunkDecisionEngine):
             sc[i] = c
             slots[i] = slot
         dc[:len(chans)] = chans
-        lengths[:len(chans)] = self._blen[chans]
+        lengths[:len(chans)] = [ln for _, ln in pend]
         packed = (rows[:, 0::4] | (rows[:, 1::4] << 2)
                   | (rows[:, 2::4] << 4) | (rows[:, 3::4] << 6))
         self._dev_buf, fused = self.engine.decide_chunk_tick(

@@ -152,7 +152,7 @@ def _cmd_replay(argv) -> int:
     # requires pure-ACGT chunks and chunk_len %% 4 == 0
     cls = DeviceChunkEngine if state == "device" else ChunkDecisionEngine
     if state == "device" and chunk_len % 4:
-        log.die("--state device needs chunk_len %% 4 == 0")
+        log.die("--state device needs chunk_len % 4 == 0")
     eng = cls(SingleChipEngine(idx, panel),
               n_channels=channels, chunk_len=chunk_len,
               policy=ChunkPolicy(max_chunks=max_chunks),

@@ -38,6 +38,51 @@ static void *count_worker(void *arg)
     return 0;
 }
 
+typedef struct {
+    const char *p, *end;
+    int64_t n;
+} nlc_t;
+
+static void *nl_worker(void *arg)
+{
+    nlc_t *c = (nlc_t *)arg;
+    const char *p = c->p, *end = c->end;
+    int64_t n = 0;
+    const char *nl;
+    while (p < end && (nl = (const char *)memchr(p, '\n', end - p))) {
+        ++n;
+        p = nl + 1;
+    }
+    c->n = n;
+    return 0;
+}
+
+/* Parallel newline count (glibc memchr is SIMD): the Python side's
+ * per-window row count was the load-path bottleneck (np.count_nonzero
+ * over a == comparison materializes a bool array at ~140 MB/s; this
+ * runs at memory bandwidth).  Split points need not be row-aligned —
+ * only '\n' bytes are counted. */
+int64_t bg_count_nl(const char *data, int64_t len, int nthreads)
+{
+    enum { MAXT = 32 };
+    nlc_t ch[MAXT];
+    pthread_t th[MAXT];
+    int T = nthreads < 1 ? 1 : (nthreads > MAXT ? MAXT : nthreads);
+    if (len < (1 << 16)) T = 1;
+    int t;
+    int64_t total = 0;
+    for (t = 0; t < T; ++t) {
+        ch[t].p = data + len * t / T;
+        ch[t].end = data + len * (t + 1) / T;
+        pthread_create(&th[t], 0, nl_worker, &ch[t]);
+    }
+    for (t = 0; t < T; ++t) {
+        pthread_join(th[t], 0);
+        total += ch[t].n;
+    }
+    return total;
+}
+
 static void *parse_worker(void *arg)
 {
     chunk_t *c = (chunk_t *)arg;

@@ -53,7 +53,7 @@ def contig_edges(assbed: List[Row], edge: int = 200000) -> List[Row]:
 
 
 def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
-        backend: str = "jax", ranged_bedgraph: bool = False) -> int:
+        backend: str = "auto", ranged_bedgraph: bool = False) -> int:
     # ranged_bedgraph: accept run-length coverage tracks (the aligner-free
     # approximate-panel mode of livefish.coverage) instead of the 1-bp
     # samtools-depth format
@@ -137,12 +137,12 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
 
 
 def main(argv) -> int:
-    backend = "jax"
+    backend = "auto"
     ranged = False
     args = []
     for a in argv:
-        if a == "--backend=numpy":
-            backend = "numpy"
+        if a.startswith("--backend="):
+            backend = a.split("=", 1)[1]
         elif a == "--ranged-bedgraph":
             # aligner-free approx-panel mode: coverage tracks produced by
             # `cornetto livefish cov` instead of minimap2+samtools depth

@@ -27,7 +27,7 @@ class BoringbitsOptions:
     min_ctg_len: int = 1000000
     edge_len: int = 100000
     boring: bool = True
-    backend: str = "jax"  # "jax" | "numpy"
+    backend: str = "auto"  # "auto" | "jax" | "numpy"
     # accept run-length bedgraph rows (aligner-free approx-panel tracks
     # from livefish.coverage); the strict default is reference parity
     ranged_bedgraph: bool = False
@@ -53,7 +53,8 @@ def run(cov_total_path: str, cov_mq_path: str, opt: BoringbitsOptions,
     sys.stderr.write("Min contig length: %d\n" % opt.min_ctg_len)
     sys.stderr.write("Edge length: %d\n" % opt.edge_len)
 
-    stats_fn = (window_sum.window_stats_jax if opt.backend == "jax"
+    stats_fn = (window_sum.window_stats_jax
+                if window_sum.resolve_backend(opt.backend) == "jax"
                 else window_sum.window_stats_numpy)
 
     # The C thresholds are computed in *float* arithmetic (the option fields
@@ -131,7 +132,8 @@ def iter_fun_windows(cov_total_path: str, cov_mq_path: str,
     (reference: scripts/create-cornetto.sh:41)."""
     depths = read_bedgraph_pair(cov_total_path, cov_mq_path,
                                 ranged=opt.ranged_bedgraph)
-    stats_fn = (window_sum.window_stats_jax if opt.backend == "jax"
+    stats_fn = (window_sum.window_stats_jax
+                if window_sum.resolve_backend(opt.backend) == "jax"
                 else window_sum.window_stats_numpy)
     thresh_low = c_round(float(np.float32(opt.low_cov_thresh)
                                * np.float32(depths.mean_depth)))

@@ -216,8 +216,6 @@ def main():
     results["stages"]["livefish_index"] = {"wall_s": round(wall, 1),
                                            "peak_rss_gb": rss}
     flush_json()
-
-    flush_json()
     if args.json:
         log("results -> %s" % args.json)
     log("OK")

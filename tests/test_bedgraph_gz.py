@@ -96,3 +96,23 @@ def test_gz_generic_fallback_parser(tmp_path):
     names, starts, depths = bed._parse_bedgraph_numpy(str(gp))
     assert names == ["a"]
     assert np.array_equal(depths[0], [5, 6])
+
+@pytest.mark.parametrize("window", [97, 1500])
+def test_plain_windowed_stitching(synth_gz, window):
+    # the plain-text path is ALSO windowed now (round-4 fix: the old
+    # whole-file mmap counted ~file-size pages toward peak RSS); tiny
+    # windows must stitch contigs/validation identically
+    _, synth = synth_gz
+    path = os.path.join(synth, "cov-total.bg")
+    base = bed._load_depth_streaming(path)
+    small = bed._load_depth_windows(open(path, "rb"),
+                                    size_hint=os.path.getsize(path),
+                                    window=window)
+    _tuples_equal(small, base)
+
+
+def test_plain_validation_error_across_windows(tmp_path):
+    pp = tmp_path / "bad.bg"
+    pp.write_bytes(b"a\t0\t1\t5\na\t1\t2\t5\na\t3\t4\t5\n")  # gap 1 -> 3
+    with pytest.raises(SystemExit):
+        bed._load_depth_windows(open(pp, "rb"), window=13)
