@@ -95,48 +95,66 @@ def main() -> int:
     d = eng.decide_packed(packed, None, read_len)
     np.asarray(d[0])
 
-    def run_e2e(iters):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = eng.decide_packed(packed, None, read_len)
-        np.asarray(r[0])
-        return batch * iters / (time.perf_counter() - t0)
+    # All timings below are SLOPES, (T(n2)-T(n1))/(n2-n1): the round-3
+    # artifact quoted a headline 1.6x above its own "ceiling" and three
+    # different device-resident figures because plain loop timing pays a
+    # one-off final readback + per-dispatch latency that slope timing
+    # cancels (bench_probe.py established the method; this file is now the
+    # single source BENCH_KERNELS/ROADMAP quote).
+    def slope_rate(fn, n1, n2, per_iter_units):
+        def run(n):
+            t0 = time.perf_counter()
+            r = None
+            for _ in range(n):
+                r = fn()
+            np.asarray(r)
+            return time.perf_counter() - t0
+        run(2)   # steady state
+        best = None
+        for _ in range(2):
+            dt = (run(n2) - run(n1)) / (n2 - n1)
+            best = dt if best is None else min(best, dt)
+        return per_iter_units / best
 
-    # two reps, best-of: the tunnel shares the host NIC, so single runs
-    # catch transient stalls; best-of-2 is the steadier estimate
-    run_e2e(3)
-    reads_per_s = max(run_e2e(20), run_e2e(20))
+    def e2e_once():
+        return eng.decide_packed(packed, None, read_len)[0]
+    reads_per_s = slope_rate(e2e_once, 5, 15, batch)
 
-    # diagnostics: device-resident step (inputs pre-staged on chip) and
-    # raw tunnel upload bandwidth, so transfer- vs compute-bound is
-    # pinned in the artifact (CLAUDE.md: e2e numbers are tunnel-bound)
+    # device-resident step (inputs pre-staged on chip): what a production
+    # host with PCIe/DMA at GB/s would see.  THE canonical device figure —
+    # measured with the SAME chained fori_loop method as
+    # BENCH_KERNELS.json decision_step_device (pure chip time; the
+    # tunnel's ~10 ms per-dispatch RPC is a harness artifact), so the two
+    # artifacts quote one number.
+    import functools
+    from bench_kernels import chained_time
+    from cornetto_tpu.livefish.decide import decision_core_packed
     dp = jax.device_put(packed)
     np.asarray(dp[:1])
-    probe = eng.decide_packed(dp, None, read_len)
-    np.asarray(probe[0])
+    step = functools.partial(
+        decision_core_packed, jnp.asarray(idx.btable[0]), nmask=None,
+        panel_mask=jnp.asarray(panel), L=read_len, k=idx.k, w=idx.w,
+        min_hits=3, bin_size=1000, bucket_shift=idx.bucket_shift,
+        use_pallas=jax.default_backend() == "tpu")
+    dev_step_s = chained_time(lambda p: step(packed=p)[1], dp, 0x7FFFFFFF)
+    dev_reads_per_s = batch / dev_step_s
 
-    def run_dev(iters):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = eng.decide_packed(dp, None, read_len)
-        np.asarray(r[0])
-        return batch * iters / (time.perf_counter() - t0)
-
-    run_dev(3)
-    dev_reads_per_s = max(run_dev(30), run_dev(30))
-
+    # pipelined upload probe: issue the transfer and a trivial consumer;
+    # slope timing over many iterations measures the SUSTAINED pipelined
+    # bandwidth (the round-3 per-call probe under-measured it and printed
+    # a "ceiling" below the measured e2e value)
     up = jax.jit(lambda x: jnp.sum(x.astype(jnp.int32)))
-    up(dp)
+    np.asarray(up(dp))
+    upload_bps = slope_rate(lambda: up(jnp.asarray(packed)), 5, 20,
+                            packed.nbytes)
 
-    def run_up(iters):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = up(jnp.asarray(packed))
-        np.asarray(r)
-        return packed.nbytes * iters / (time.perf_counter() - t0)
-
-    run_up(3)
-    upload_bps = max(run_up(15), run_up(15))
+    # transfer-implied ceiling.  The e2e run itself proves the tunnel
+    # sustained at least `reads_per_s` worth of bytes, so the honest
+    # ceiling is the max of the direct probe and that demonstrated rate:
+    # value <= transfer_bound_value holds in every emitted artifact by
+    # measurement, not by fiat.
+    probe_ceiling = upload_bps / packed.nbytes * batch
+    transfer_bound = max(probe_ceiling, reads_per_s)
 
     result = {
         "metric": "adaptive_sampling_decisions",
@@ -144,11 +162,15 @@ def main() -> int:
         "unit": "reads/s/chip",
         "vs_baseline": round(reads_per_s / 62500.0, 3),
         "device_resident_reads_per_s": round(dev_reads_per_s, 1),
+        "device_step_ms": round(dev_step_s * 1e3, 3),
         "upload_MBps": round(upload_bps / 1e6, 1),
-        "transfer_bound_value": round(upload_bps / packed.nbytes * batch, 1),
+        "transfer_bound_value": round(transfer_bound, 1),
+        "transfer_bound_source": ("upload_probe"
+                                  if transfer_bound == probe_ceiling
+                                  else "e2e_demonstrated"),
         "note": "value tracks the axon tunnel's upload bandwidth "
-                "(113 B/read is the 2-bit entropy floor); see bench.py "
-                "docstring + ROADMAP.md round-3 root-cause note",
+                "(113 B/read is the 2-bit entropy floor); all figures "
+                "slope-timed; see bench.py docstring + ROADMAP.md",
     }
     print(json.dumps(result))
     return 0

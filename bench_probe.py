@@ -60,7 +60,7 @@ def main():
 
     @jax.jit
     def full_sum(t, p, pm):
-        d, b, e, nh = decision_core_packed(
+        d, b, e, nh, _, _ = decision_core_packed(
             t, p, None, pm, L=L, k=idx.k, w=idx.w, min_hits=3,
             bin_size=1000, bucket_shift=idx.bucket_shift, use_pallas=True)
         return (jnp.sum(d.astype(jnp.int32)) + jnp.sum(b) + jnp.sum(e)
@@ -74,7 +74,7 @@ def main():
 
     @jax.jit
     def tail_sum(t, hh, vv, pm):
-        d, b, e, nh = _decide_from_minima(t, hh, vv, pm, 3, 1000,
+        d, b, e, nh, _, _ = _decide_from_minima(t, hh, vv, pm, 3, 1000,
                                           idx.bucket_shift)
         return (jnp.sum(d.astype(jnp.int32)) + jnp.sum(b) + jnp.sum(e)
                 + jnp.sum(nh))

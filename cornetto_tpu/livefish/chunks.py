@@ -157,7 +157,7 @@ class ChunkDecisionEngine:
     def _resolve(self, entry) -> List[ChunkDecision]:
         chans, res, chunks_at, rids = entry
         if isinstance(res, tuple):
-            d, best, est, nhits = (np.asarray(x) for x in res)
+            d, best, est, nhits = (np.asarray(x) for x in res[:4])
         else:
             from cornetto_tpu.livefish.decide import unpack_fused
             d, best, est, nhits = unpack_fused(np.asarray(res))

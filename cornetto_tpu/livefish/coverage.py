@@ -12,11 +12,17 @@ panel mode").
 
 Approximations (documented contract):
 - resolution is `bin_size` (default 1000 bp), not 1 bp: each read's bases
-  land in the single bin of its estimated position;
-- the MQ>=20 track's proxy is hit-count strength: reads whose best contig
-  collected >= `hq_hits` minimizer hits (multi-mapping/repeat reads
-  spread their hits and fall below it, the same reads MAPQ filtering
-  removes);
+  land in the single bin of its estimated position (two bins for
+  repeat-only reads, below);
+- the MQ>=20 track's proxy is UNAMBIGUOUS hit strength: reads whose best
+  contig collected >= `hq_hits` hits on single-occurrence minimizers
+  (hits on multi-occurrence minimizers are excluded — that is exactly
+  what MAPQ<20 filtering removes; round-3 counted ambiguous hits, so
+  exact-repeat reads passed as high-confidence and the repeat SOURCE
+  copy was wrongly rejected, EVAL_ALIGNERFREE r03);
+- a read whose hits are ALL ambiguous (wholly inside an exact repeat)
+  splits its bases across the repeat's two stored copies (est/est2 from
+  livefish.decide) instead of piling onto the first occurrence;
 - depth = binned bases / bin_size, so numbers match true mean depth in
   expectation but are smoothed at bin granularity.
 """
@@ -49,23 +55,29 @@ class CoverageTally:
         self._tally = jnp.zeros((2, C, bins), dtype=jnp.int32)
         p = params
 
-        def _accum(tally, best, est, nhits, lengths):
-            b = jnp.clip(est // p.bin_size, 0, tally.shape[2] - 1)
+        def _accum(tally, best, est, est2, nhits, nhits_hq, lengths):
+            b1 = jnp.clip(est // p.bin_size, 0, tally.shape[2] - 1)
+            b2 = jnp.clip(est2 // p.bin_size, 0, tally.shape[2] - 1)
             mapped = nhits >= p.min_hits
-            hq = nhits >= p.hq_hits
+            hq = nhits_hq >= p.hq_hits
             ln = lengths.astype(jnp.int32)
-            t0 = tally[0].at[best, b].add(jnp.where(mapped, ln, 0))
-            t1 = tally[1].at[best, b].add(jnp.where(hq, ln, 0))
+            # repeat-only reads (no unambiguous anchor -> est2 != est)
+            # split their bases across both stored copies
+            split = mapped & (b2 != b1)
+            w1 = jnp.where(mapped, jnp.where(split, ln - ln // 2, ln), 0)
+            w2 = jnp.where(split, ln // 2, 0)
+            t0 = tally[0].at[best, b1].add(w1).at[best, b2].add(w2)
+            t1 = tally[1].at[best, b1].add(jnp.where(hq, ln, 0))
             return jnp.stack([t0, t1])
 
         self._fn = jax.jit(_accum, donate_argnums=0)
 
-    def update(self, best, est, nhits, lengths) -> None:
+    def update(self, best, est, est2, nhits, nhits_hq, lengths) -> None:
         """Fold one decided batch in (device arrays from the engine plus
         per-read true lengths; rows not in the batch must have nhits 0)."""
         import jax.numpy as jnp
-        self._tally = self._fn(self._tally, best, est, nhits,
-                               jnp.asarray(lengths))
+        self._tally = self._fn(self._tally, best, est, est2, nhits,
+                               nhits_hq, jnp.asarray(lengths))
 
     def counts(self) -> np.ndarray:
         return np.asarray(self._tally)
@@ -109,12 +121,12 @@ def stream_coverage(engine, tally: CoverageTally, fastq_path: str,
                                        lengths=rb.lengths)
         else:
             res = engine.decide_packed(packed, nmask, read_len)
-        d, best, est, nhits = res
+        d, best, est, nhits, nhits_hq, est2 = res
         lens = rb.lengths if rb.lengths is not None else \
             np.full(rb.codes.shape[0], read_len, np.int32)
         lens = lens.copy()
         lens[rb.count:] = 0
-        tally.update(best, est, nhits, lens)
+        tally.update(best, est, est2, nhits, nhits_hq, lens)
         if pending is not None and out is not None:
             total, accepted = _drain(pending[0], pending[1], out,
                                      total, accepted, engine)

@@ -40,8 +40,23 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
     comparison is exact because shard+bucket bits pin the rest of the key —
     callers on a sharded mesh must therefore mask q_valid down to the
     queries this shard OWNS, see _decide_from_minima).
-    Returns per-contig stats: (votes (b, C) int32 hit counts,
-    numer (b, C) int32 sums of reference positions over those hits).
+
+    A unique index hash occupies one slot; a multi-occurrence (ambiguous,
+    MAPQ<20-analog) hash occupies up to TWO slots holding its first two
+    genome occurrences, both with the position sign bit set
+    (livefish.index).  Each query hash counts ONCE toward its contig's
+    vote; ambiguous hits are tallied separately so the decision layer can
+    exclude them from high-confidence coverage and split repeat reads
+    across both copies.
+
+    Returns per-contig (b, C) int32 stats:
+      votes     — all hits (mapping evidence),
+      votes_un  — unambiguous hits,   numer_un — their position sums,
+      votes_amb — ambiguous hits,     numer_a1/numer_a2 — position sums of
+                  their first / second genome occurrences.
+    Position sums are int32: exact while contig_len * hits_per_read < 2^31
+    (~47 Mb contigs at the 45-minimizer chunk norm; est is bin-grade
+    beyond that).
     """
     import jax.numpy as jnp
     b, M = q_hash.shape
@@ -56,42 +71,64 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
     qv = q_valid.ravel()
     found = jnp.zeros_like(qv)
     contig = jnp.zeros_like(qfp)
-    refpos = jnp.zeros_like(qfp)
+    pos1 = jnp.zeros_like(qfp)
+    pos2 = jnp.zeros_like(qfp)
+    has2 = jnp.zeros_like(qv)
     for s in range(4):
         word = row[:, s // 2]
         ctw = row[:, 2 + s // 2]
         fp = (word >> (16 * (s % 2))) & 0xFFFF
         ct = (ctw >> (16 * (s % 2))) & 0xFFFF
-        # index hashes are unique, so at most one slot matches: the where-
-        # chain is exact first-match selection
         m = (fp == qfp) & (ct != 0xFFFF)
+        is2 = m & found          # second slot of an ambiguous hash
+        is1 = m & ~found
+        contig = jnp.where(is1, ct, contig)
+        pos1 = jnp.where(is1, row[:, 4 + s], pos1)
+        pos2 = jnp.where(is2, row[:, 4 + s], pos2)
+        has2 = has2 | is2
         found = found | m
-        contig = jnp.where(m, ct, contig)
-        refpos = jnp.where(m, row[:, 4 + s], refpos)
     found = found & qv
+    ambig = found & (pos1 < 0)
+    p1 = jnp.where(found, pos1 & 0x7FFFFFFF, 0)
+    # 2nd occurrence may have been bucket-overflow-dropped: fall back to p1
+    p2 = jnp.where(found & has2, pos2 & 0x7FFFFFFF, p1)
     contig = jnp.where(found, contig, 0)
-    refpos = jnp.where(found, refpos, 0)
-    found = found.reshape(b, M)
-    contig = contig.reshape(b, M)
-    refpos = refpos.reshape(b, M)
-    if n_contigs <= 64:
-        # dense one-hot reduction beats scatter-add for small contig
-        # counts; the (b, M, C) intermediates fuse into the reductions
-        oh = (contig[:, :, None]
-              == jnp.arange(n_contigs, dtype=jnp.int32)[None, None, :]) \
-            & found[:, :, None]
-        votes = jnp.sum(oh, axis=1, dtype=jnp.int32)
-        numer = jnp.sum(oh * refpos[:, :, None], axis=1, dtype=jnp.int32)
-    else:
+
+    def _reduce(found, ambig, contig, p1, p2):
+        fr = found.reshape(b, M)
+        ar = ambig.reshape(b, M)
+        cr = contig.reshape(b, M)
+        p1r = p1.reshape(b, M)
+        p2r = p2.reshape(b, M)
+        if n_contigs <= 64:
+            # dense one-hot reduction beats scatter-add for small contig
+            # counts; the (b, M, C) intermediates fuse into the reductions
+            oh = (cr[:, :, None]
+                  == jnp.arange(n_contigs, dtype=jnp.int32)[None, None, :]) \
+                & fr[:, :, None]
+            un = oh & ~ar[:, :, None]
+            am = oh & ar[:, :, None]
+            return (jnp.sum(oh, axis=1, dtype=jnp.int32),
+                    jnp.sum(un, axis=1, dtype=jnp.int32),
+                    jnp.sum(un * p1r[:, :, None], axis=1, dtype=jnp.int32),
+                    jnp.sum(am, axis=1, dtype=jnp.int32),
+                    jnp.sum(am * p1r[:, :, None], axis=1, dtype=jnp.int32),
+                    jnp.sum(am * p2r[:, :, None], axis=1, dtype=jnp.int32))
         rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
                                 (b, M)).ravel()
-        cols = contig.ravel()
-        votes = jnp.zeros((b, n_contigs), dtype=jnp.int32)
-        votes = votes.at[rows, cols].add(found.ravel().astype(jnp.int32))
-        numer = jnp.zeros((b, n_contigs), dtype=jnp.int32)
-        numer = numer.at[rows, cols].add(
-            (found * refpos).ravel().astype(jnp.int32))
-    return votes, numer
+        cols = cr.ravel()
+        un = (fr & ~ar).ravel()
+        am = (fr & ar).ravel()
+        z = jnp.zeros((b, n_contigs), dtype=jnp.int32)
+        at = z.at[rows, cols]
+        return (at.add(fr.ravel().astype(jnp.int32)),
+                at.add(un.astype(jnp.int32)),
+                at.add((un * p1).astype(jnp.int32)),
+                at.add(am.astype(jnp.int32)),
+                at.add((am * p1).astype(jnp.int32)),
+                at.add((am * p2).astype(jnp.int32)))
+
+    return _reduce(found, ambig, contig, p1, p2)
 
 
 def decision_core(btable, reads, panel_mask,
@@ -103,7 +140,9 @@ def decision_core(btable, reads, panel_mask,
     reads: (b, L) uint8 codes — with ep_axis set this is the device's OWN
     (dp, ep) slice; extraction runs once per read, not once per ep shard.
     Returns (decision (b,) int8 — 1 accept / 0 reject, best_contig (b,)
-    int32, est_pos (b,) int32, nhits (b,) int32).
+    int32, est_pos (b,) int32, nhits (b,) int32, nhits_hq (b,) int32 —
+    unambiguous hits, the MAPQ>=20 analog — and est_pos2 (b,) int32, the
+    second repeat-copy estimate, == est_pos for uniquely anchored reads).
     """
     pos, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
     return _decide_from_minima(btable, h, valid, panel_mask,
@@ -174,17 +213,30 @@ def _decide_from_minima(btable, h, valid, panel_mask, min_hits: int,
         my = jax.lax.axis_index(ep_axis).astype(jnp.uint32)
         own = (h & jnp.uint32(ep_size - 1)) == my
         valid = valid & own
-    votes, numer = _lookup_votes(btable, bucket_shift, h, valid, n_contigs)
+    stats6 = _lookup_votes(btable, bucket_shift, h, valid, n_contigs)
     if ep_axis is not None:
-        stats = jnp.concatenate([votes, numer], axis=1)
+        stats = jnp.concatenate(stats6, axis=1)
         stats = jax.lax.psum_scatter(stats, ep_axis, scatter_dimension=0,
                                      tiled=True)
-        votes = stats[:, :n_contigs]
-        numer = stats[:, n_contigs:]
+        stats6 = [stats[:, i * n_contigs:(i + 1) * n_contigs]
+                  for i in range(6)]
+    votes, votes_un, numer_un, votes_amb, numer_a1, numer_a2 = stats6
     best = jnp.argmax(votes, axis=1).astype(jnp.int32)
-    nhits = jnp.take_along_axis(votes, best[:, None], axis=1)[:, 0]
-    numer_b = jnp.take_along_axis(numer, best[:, None], axis=1)[:, 0]
-    est = numer_b // jnp.maximum(nhits, 1)
+
+    def _pick(a):
+        return jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
+    nhits = _pick(votes)
+    nhits_hq = _pick(votes_un)          # MAPQ>=20 analog: unambiguous hits
+    nu, va = _pick(numer_un), _pick(votes_amb)
+    a1, a2 = _pick(numer_a1), _pick(numer_a2)
+    # position estimate prefers unambiguous hits; a read whose hits are
+    # ALL ambiguous (wholly inside an exact repeat) gets both copies'
+    # estimates so coverage mass can split across them (est == est2
+    # whenever the read has any unique anchor)
+    have_un = nhits_hq > 0
+    est_amb1 = a1 // jnp.maximum(va, 1)
+    est = jnp.where(have_un, nu // jnp.maximum(nhits_hq, 1), est_amb1)
+    est2 = jnp.where(have_un, est, a2 // jnp.maximum(va, 1))
     mapped = nhits >= min_hits
     est_bin = jnp.clip(est // bin_size, 0, panel_mask.shape[1] - 1)
     in_panel = panel_mask[best, est_bin]
@@ -192,12 +244,12 @@ def _decide_from_minima(btable, h, valid, panel_mask, min_hits: int,
     # boring (already-resolved) panel; keep sequencing everything else
     reject = mapped & in_panel
     decision = (~reject).astype(jnp.int8)
-    return decision, best, est, nhits
+    return decision, best, est, nhits, nhits_hq, est2
 
 
 def decision_core_packed_fused(btable, packed, nmask, panel_mask,
                                lengths=None, **kw):
-    """decision_core_packed with the four outputs packed into ONE (2, B)
+    """decision_core_packed with the decision outputs packed into ONE (2, B)
     int32 array: a single host readback instead of four, at 8 B/read
     instead of 16.  Through the axon tunnel each readback pays ~17 ms of
     latency (the 4-array result halved end-to-end streaming throughput,
@@ -212,8 +264,12 @@ def decision_core_packed_fused(btable, packed, nmask, panel_mask,
     ~L/w minimizers, ~45 at the 450-bp chunk length).  Decode with
     unpack_fused."""
     import jax.numpy as jnp
-    d, b, e, nh = decision_core_packed(btable, packed, nmask, panel_mask,
-                                       lengths=lengths, **kw)
+    # nhits_hq / est2 are NOT carried on the fused wire: the fused path
+    # feeds the streaming TSV + chunk engines; the coverage tally
+    # (livefish.coverage) uses the unfused 6-tuple path
+    d, b, e, nh, _, _ = decision_core_packed(btable, packed, nmask,
+                                             panel_mask, lengths=lengths,
+                                             **kw)
     w0 = ((d.astype(jnp.int32) << 30)
           | (jnp.minimum(nh, 0x3FFF) << 16)
           | (b & 0xFFFF))
@@ -401,7 +457,7 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
     fn = shard_map(
         local_step, mesh=mesh,
         in_specs=(P("ep", None, None), P(("dp", "ep"), None), P(None, None)),
-        out_specs=(RSPEC,) * 4,
+        out_specs=(RSPEC,) * 6,
         check_vma=False)
     jfn = jax.jit(fn)
 
@@ -447,7 +503,7 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
                 + (P(None, None),)
             # reorder: panel is always the last arg
             pf = shard_map(local, mesh=mesh, in_specs=specs,
-                           out_specs=(RSPEC,) * 4,
+                           out_specs=(RSPEC,) * 6,
                            check_vma=False)
             pcache[key] = jax.jit(pf)
         args = [btable,

@@ -45,7 +45,10 @@ class MinimizerIndex:
     #   w0 = fp0 | fp1<<16      w1 = fp2 | fp3<<16     (uint16 fingerprints)
     #   w2 = ct0 | ct1<<16      w3 = ct2 | ct3<<16     (uint16 contig ids,
     #                                                   0xFFFF = empty slot)
-    #   w4..w7 = pos0..pos3                            (int32 ref positions)
+    #   w4..w7 = pos0..pos3                            (int32 ref positions;
+    #                                                   sign bit = ambiguous,
+    #                                                   i.e. multi-occurrence
+    #                                                   hash — MAPQ<20 analog)
     # The uint16 fingerprint fp = h >> (log2(E) + B) is EXACT, not
     # probabilistic: shard + bucket pin the low log2(E)+B hash bits, so
     # only the top 32-log2(E)-B bits carry information; the build forces
@@ -66,8 +69,15 @@ def build_index(contigs: Dict[str, str], n_shards: int = 1,
                 ) -> MinimizerIndex:
     """contigs: name -> sequence.  n_shards must be a power of two.
 
-    The table keeps one entry per unique hash (first occurrence, matching
-    the lookup's first-match semantics); hashes occurring more than
+    The table keeps the first TWO occurrences per unique hash; entries of
+    hashes that occur more than once carry an AMBIGUITY mark (the sign bit
+    of the stored position).  Ambiguous hits are what MAPQ<20 filtering
+    removes in the aligned pipeline: the decision layer counts them toward
+    mapping votes but excludes them from the high-confidence tally, and
+    the second occurrence lets a read from either copy of an exact repeat
+    split its coverage mass across both copies instead of piling onto the
+    first (round-3 EVAL_ALIGNERFREE failure: the repeat SOURCE copy drew
+    2x coverage and was wrongly rejected).  Hashes occurring more than
     `repeat_cap` times are dropped entirely (repeat masking).  A per-shard
     bucket directory bounds device lookups to one 32-byte row-gather
     holding `bucket_slots` fingerprinted entries.
@@ -89,15 +99,22 @@ def build_index(contigs: Dict[str, str], n_shards: int = 1,
     p = np.concatenate(all_p) if all_p else np.empty(0, np.int32)
     order = np.argsort(h, kind="stable")
     h, c, p = h[order], c[order], p[order]
-    # dedupe to first occurrence per unique hash; mask heavy repeats
+    # dedupe to the first TWO occurrences per unique hash (stable sort =
+    # occurrences stay in (contig, position) order); mark multi-occurrence
+    # hashes ambiguous via the position sign bit; mask heavy repeats
     if len(h):
         uniq_first = np.empty(len(h), dtype=bool)
         uniq_first[0] = True
         uniq_first[1:] = h[1:] != h[:-1]
         starts = np.flatnonzero(uniq_first)
         counts_per = np.diff(np.append(starts, len(h)))
-        keep = starts[counts_per <= repeat_cap]
+        ok = counts_per <= repeat_cap
+        first = starts[ok]
+        second = starts[ok & (counts_per > 1)] + 1
+        keep = np.sort(np.concatenate([first, second]))
+        amb = np.repeat(counts_per[ok] > 1, np.minimum(counts_per[ok], 2))
         h, c, p = h[keep], c[keep], p[keep]
+        p = np.where(amb, p | np.int32(-2**31), p).astype(np.int32)
     # low-bit sharding: shard s owns hashes with (h & (E-1)) == s — the
     # low bits stay uniform despite the window-min value skew (see module
     # docstring), so shards are balanced

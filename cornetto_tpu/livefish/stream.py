@@ -179,7 +179,9 @@ def _stream_decisions_native(engine, first, gen,
 def _readback(entry):
     pb, res = entry
     if isinstance(res, tuple):
-        return pb, tuple(np.asarray(x) for x in res)
+        # only the first 4 outputs feed the TSV; skip reading back the
+        # hq/est2 coverage extras (each extra array costs a tunnel round)
+        return pb, tuple(np.asarray(x) for x in res[:4])
     from cornetto_tpu.livefish.decide import unpack_fused
     return pb, unpack_fused(np.asarray(res))   # fused (2, B) int32
 
@@ -218,7 +220,7 @@ class _RowWriter:
                 if item is self._DONE:
                     return
                 pb, arrs = item
-                d, best, est, nhits = arrs
+                d, best, est, nhits = arrs[:4]
                 if self._tf is not None and \
                         getattr(pb, "id_blob", None) is not None:
                     data, acc = self._tf.format_batch(
@@ -287,7 +289,7 @@ def _has_interior_n(rb: ReadBatch) -> bool:
 
 
 def _drain(rb: ReadBatch, res, out, total, accepted, engine):
-    d, best, est, nhits = (np.asarray(x) for x in res)
+    d, best, est, nhits = (np.asarray(x) for x in res[:4])
     names = getattr(engine, "contig_names", None)
     for i in range(rb.count):
         ctg = (names[best[i]] if names is not None else str(int(best[i])))

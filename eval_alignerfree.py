@@ -176,9 +176,10 @@ def main() -> int:
             ctg, s = reads[i + j]
             codes[j] = encode_seq(genome[ctg][s:s + L])
         codes[n:] = 0
-        d, best, est, nhits = eng.decide(codes)
+        d, best, est, nhits, nhits_hq, est2 = eng.decide(codes)
         tally.update(np.asarray(best)[:n], np.asarray(est)[:n],
-                     np.asarray(nhits)[:n], lengths[:n])
+                     np.asarray(est2)[:n], np.asarray(nhits)[:n],
+                     np.asarray(nhits_hq)[:n], lengths[:n])
         i += n
     rp = (os.path.join(wd, "af.cov-total.bg"),
           os.path.join(wd, "af.cov-mq20.bg"))

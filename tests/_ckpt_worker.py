@@ -89,7 +89,7 @@ def main() -> int:
         n_batches = i + 1
         if i < cursor:
             continue          # durable already; do NOT recompute
-        d, best, est, nhits = (np.asarray(x) for x in eng(rb.codes))
+        d, best, est, nhits = (np.asarray(x) for x in eng(rb.codes)[:4])
         rows = "".join(
             "%s\t%d\t%d\t%d\t%d\n"
             % (rb.ids[j], int(d[j]), int(best[j]), int(est[j]),

@@ -63,10 +63,11 @@ def test_decisions_ground_truth(genome, panel_rows):
     fun_reads, _ = _sample_reads(genome, rng, 16, L, "ctgA", 42000, 59000)
     other_reads, _ = _sample_reads(genome, rng, 16, L, "ctgB", 0, 39000)
     random_reads = rng.integers(0, 4, size=(16, L)).astype(np.uint8)
-    d_boring, best, est, nh = eng.decide(boring_reads)
-    d_fun, _, _, _ = eng.decide(fun_reads)
-    d_other, bo, _, _ = eng.decide(other_reads)
-    d_rand, _, _, nh_rand = eng.decide(random_reads)
+    d_boring, best, est, nh = eng.decide(boring_reads)[:4]
+    d_fun = eng.decide(fun_reads)[0]
+    d_other, bo = eng.decide(other_reads)[:2]
+    res_rand = eng.decide(random_reads)
+    d_rand, nh_rand = res_rand[0], res_rand[3]
     assert np.all(np.asarray(d_boring) == 0)      # reject boring-region reads
     assert np.all(np.asarray(d_fun) == 1)         # keep fun-region reads
     assert np.all(np.asarray(d_other) == 1)       # ctgB not in panel
@@ -124,9 +125,9 @@ def test_sharded_matches_single(genome, panel_rows, dp, ep):
         _sample_reads(genome, rng, 8, L, "ctgB", 0, 39000)[0],
         rng.integers(0, 4, size=(8, L)).astype(np.uint8),
     ])
-    d1, b1, e1, n1 = eng1.decide(reads)
-    dE, bE, eE, nE = engE(reads)
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(dE))
-    np.testing.assert_array_equal(np.asarray(n1), np.asarray(nE))
-    np.testing.assert_array_equal(np.asarray(b1), np.asarray(bE))
-    np.testing.assert_array_equal(np.asarray(e1), np.asarray(eE))
+    res1 = eng1.decide(reads)
+    resE = engE(reads)
+    # all six outputs (incl. hq hits + second repeat-copy estimate) must
+    # be sharding-invariant
+    for a, b in zip(res1, resE):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

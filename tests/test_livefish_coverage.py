@@ -88,7 +88,7 @@ def test_alignerfree_panel_end_to_end(tmp_path):
             ln[i] = L
         packed, _ = pack_reads(rows)
         res = eng.decide_packed(packed, None, L, lengths=ln)
-        tally.update(res[1], res[2], res[3], ln)
+        tally.update(res[1], res[2], res[5], res[3], res[4], ln)
 
     kept = 0
     while kept < n_reads:

@@ -105,27 +105,46 @@ def test_decide_packed_lengths_paths_agree():
 def test_fingerprint_lookup_exact():
     """Every indexed minimizer must be found by the fingerprint lookup with
     its exact contig and position (zero drops at this scale).  One query per
-    row so the (votes, numer) per-contig stats pin each hash individually:
-    exactly one vote, on the right contig, with numer = the stored refpos."""
+    row so the per-contig stats pin each hash individually: exactly one
+    vote, on the right contig, with the position sum equal to the stored
+    refpos.  The genome carries a deliberate exact repeat so ambiguous
+    (multi-occurrence) hashes exercise the two-slot path: their first AND
+    second occurrences must both come back (numer_a1 / numer_a2)."""
     from cornetto_tpu.livefish.decide import _lookup_votes
     from cornetto_tpu.livefish.index import build_index
     rng = np.random.default_rng(3)
     bases = np.array(list("ACGT"))
-    genome = {"c1": "".join(bases[rng.integers(0, 4, 30000)]),
+    g1 = bases[rng.integers(0, 4, 30000)]
+    g1[20000:23000] = g1[2000:5000]          # exact repeat -> ambiguity
+    genome = {"c1": "".join(g1),
               "c2": "".join(bases[rng.integers(0, 4, 20000)])}
     idx = build_index(genome, n_shards=1)
     assert idx.dropped_frac == 0.0
     n = int(idx.shard_counts[0])
     h = idx.hashes[0, :n]
+    pos_raw = idx.positions[0, :n]
+    amb = pos_raw < 0
+    assert amb.any(), "repeat failed to produce ambiguous hashes"
+    pos = pos_raw & 0x7FFFFFFF
     q = jnp.asarray(h[:, None])                      # (n, 1): one per row
-    votes, numer = _lookup_votes(
-        jnp.asarray(idx.btable[0]), idx.bucket_shift, q,
-        jnp.ones_like(q, dtype=bool), 2)
-    votes = np.asarray(votes)
-    numer = np.asarray(numer)
+    votes, votes_un, numer_un, votes_amb, numer_a1, numer_a2 = (
+        np.asarray(x) for x in _lookup_votes(
+            jnp.asarray(idx.btable[0]), idx.bucket_shift, q,
+            jnp.ones_like(q, dtype=bool), 2))
     rows = np.arange(n)
     exp_ctg = idx.contigs[0, :n]
     assert (votes.sum(axis=1) == 1).all()            # found, exactly once
     np.testing.assert_array_equal(votes[rows, exp_ctg], 1)
-    np.testing.assert_array_equal(numer[rows, exp_ctg],
-                                  idx.positions[0, :n])
+    # ambiguity classification matches the index marks
+    np.testing.assert_array_equal(votes_un[rows, exp_ctg], (~amb) * 1)
+    np.testing.assert_array_equal(votes_amb[rows, exp_ctg], amb * 1)
+    # unambiguous hashes: exact stored position
+    np.testing.assert_array_equal(numer_un[rows, exp_ctg][~amb], pos[~amb])
+    # ambiguous hashes are stored as adjacent (first, second) occurrence
+    # pairs: both dup rows of a pair answer with (first_pos, second_pos)
+    first = np.flatnonzero(amb[:-1] & (h[:-1] == h[1:]))
+    assert len(first), "expected adjacent ambiguous pairs"
+    for i in first:
+        for r in (i, i + 1):
+            assert numer_a1[r, exp_ctg[r]] == pos[i]
+            assert numer_a2[r, exp_ctg[r]] == pos[i + 1]
