@@ -18,9 +18,6 @@ def save_index(path: str, index: MinimizerIndex,
                tallies: Optional[Dict[str, np.ndarray]] = None) -> None:
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     arrays = {
-        "hashes": index.hashes,
-        "contigs": index.contigs,
-        "positions": index.positions,
         "shard_counts": index.shard_counts,
         "contig_lens": index.contig_lens,
         "k": np.int64(index.k),
@@ -30,11 +27,19 @@ def save_index(path: str, index: MinimizerIndex,
         "bucket_slots": np.int64(index.bucket_slots),
         "contig_names": np.array(index.contig_names, dtype=object),
     }
+    if index.hashes is not None:
+        # padded per-shard tables exist only with keep_tables builds;
+        # the runtime needs just btable (livefish/index.py)
+        arrays["hashes"] = index.hashes
+        arrays["contigs"] = index.contigs
+        arrays["positions"] = index.positions
     if panel_mask is not None:
         arrays["panel_mask"] = panel_mask
     for name, arr in (tallies or {}).items():
         arrays["tally_" + name] = np.asarray(arr)
-    np.savez_compressed(path, **arrays)
+    # uncompressed: hashes/btable are near-uniform bits (deflate gains
+    # ~nothing and costs minutes at whole-genome scale)
+    np.savez(path, **arrays)
 
 
 def load_index(path: str):
@@ -42,8 +47,11 @@ def load_index(path: str):
     if not path.endswith(".npz"):
         path = path + ".npz"
     z = np.load(path, allow_pickle=True)
+    has_tables = "hashes" in z.files
     index = MinimizerIndex(
-        hashes=z["hashes"], contigs=z["contigs"], positions=z["positions"],
+        hashes=z["hashes"] if has_tables else None,
+        contigs=z["contigs"] if has_tables else None,
+        positions=z["positions"] if has_tables else None,
         shard_counts=z["shard_counts"],
         contig_names=[str(x) for x in z["contig_names"]],
         contig_lens=z["contig_lens"], k=int(z["k"]), w=int(z["w"]),

@@ -469,8 +469,14 @@ def read_bedgraph_pair(cov_total_path: str, cov_mq_path: str,
     at 65535 with a warning; :293-294 rounds the global means).
     ranged=True accepts run-length rows (aligner-free approx mode)."""
     if not ranged:
-        a = _load_depth_streaming(cov_total_path)
-        b = _load_depth_streaming(cov_mq_path) if a is not None else None
+        # load the two tracks concurrently: gzip inflate is single-threaded
+        # per stream (the 3 Gbp wall-clock driver), and both zlib and the
+        # native parser release the GIL, so the pair overlaps cleanly
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(2) as ex:
+            fa = ex.submit(_load_depth_streaming, cov_total_path)
+            fb = ex.submit(_load_depth_streaming, cov_mq_path)
+            a, b = fa.result(), fb.result()
         if a is not None and b is not None:
             return _pair_from_streaming(a, b)
     n1, s1, d1 = _parse_bedgraph_numpy(cov_total_path, ranged=ranged)

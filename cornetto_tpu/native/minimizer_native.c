@@ -1,0 +1,238 @@
+/* Native host kernels for the livefish minimizer-index build.
+ *
+ * The index build is host-side protocol work (it runs once per assembly
+ * iteration, producing the device lookup table the decision engine
+ * loads); round-3 did it in NumPy and a 3 Gbp genome cost 1,936 s /
+ * 31.9 GB (SCALE_3GBP.json livefish_index).  The three passes here are
+ * exact twins of the NumPy reference implementations in
+ * kernels/minimizer.py (minimizers_np) and livefish/index.py
+ * (the dedup + _build_buckets logic), validated bit-for-bit by
+ * tests/test_livefish_index_native.py.
+ *
+ * Build: cc -O3 -shared -fPIC -pthread minimizer_native.c -o _minimizer_native.so
+ */
+
+#include <pthread.h>
+#include <stdint.h>
+#include <string.h>
+
+/* minimap2-style invertible finalizer, exactly the masked-64-bit chain
+ * of kernels/minimizer.py:_hash32_np (valid for any canonical width) */
+static inline uint32_t hash32(uint64_t x)
+{
+    const uint64_t mask = 0xFFFFFFFFu;
+    x = (~x + (x << 21)) & mask;
+    x = x ^ (x >> 24);
+    x = (x + (x << 3) + (x << 8)) & mask;
+    x = x ^ (x >> 14);
+    x = (x + (x << 2) + (x << 4)) & mask;
+    x = x ^ (x >> 28);
+    x = (x + (x << 31)) & mask;
+    return (uint32_t)x;
+}
+
+typedef struct {
+    const uint8_t *codes;
+    int64_t n;
+    int k, w;
+    int64_t j0, j1;            /* window range [j0, j1) */
+    uint32_t *hash_out;        /* per-window min hash (0xFFFFFFFF = none) */
+    int32_t *pos_out;          /* per-window argmin position */
+} mzx_t;
+
+static void *mzx_worker(void *arg)
+{
+    mzx_t *t = (mzx_t *)arg;
+    const uint8_t *codes = t->codes;
+    const int k = t->k, w = t->w;
+    const uint64_t fmask = (k < 32) ? ((1ull << (2 * k)) - 1) : ~0ull;
+    uint64_t fwd = 0, rev = 0;
+    int64_t run = 0;           /* consecutive non-N codes ending here */
+    int64_t i0 = t->j0 * w;
+    int64_t b;
+    /* warm up the rolling k-mer over codes[i0 .. i0+k-2] */
+    for (b = i0; b < i0 + k - 1; ++b) {
+        uint8_t c = codes[b];
+        uint8_t c3 = c < 4 ? c : 3;
+        run = c < 4 ? run + 1 : 0;
+        fwd = ((fwd << 2) | c3) & fmask;
+        rev = (rev >> 2) | ((uint64_t)(3 - c3) << (2 * (k - 1)));
+    }
+    int64_t j;
+    for (j = t->j0; j < t->j1; ++j) {
+        uint32_t mn = 0xFFFFFFFFu;
+        int32_t mp = 0;
+        int64_t i = j * w;
+        int s;
+        for (s = 0; s < w; ++s, ++i) {
+            uint8_t c = codes[i + k - 1];
+            uint8_t c3 = c < 4 ? c : 3;
+            run = c < 4 ? run + 1 : 0;
+            fwd = ((fwd << 2) | c3) & fmask;
+            rev = (rev >> 2) | ((uint64_t)(3 - c3) << (2 * (k - 1)));
+            if (run >= k) {
+                uint64_t canon = fwd < rev ? fwd : rev;
+                uint32_t h = hash32(canon);
+                if (h < mn) {      /* strict: first-occurrence argmin */
+                    mn = h;
+                    mp = (int32_t)i;
+                }
+            }
+        }
+        t->hash_out[j] = mn;
+        t->pos_out[j] = mp;
+    }
+    return 0;
+}
+
+/* Windowed-minima minimizer extraction, threaded over window ranges
+ * (windows are independent given a k-1 warm-up).  hash_out/pos_out are
+ * caller buffers of nwin = (n-k+1)/w entries; windows whose every k-mer
+ * touches an N get hash 0xFFFFFFFF (caller filters). */
+void mz_extract(const uint8_t *codes, int64_t n, int k, int w, int nthreads,
+                uint32_t *hash_out, int32_t *pos_out)
+{
+    enum { MAXT = 32 };
+    mzx_t th[MAXT];
+    pthread_t tid[MAXT];
+    int64_t m = n - k + 1;
+    int64_t nwin = m > 0 ? m / w : 0;
+    if (nwin <= 0) return;
+    int T = nthreads < 1 ? 1 : (nthreads > MAXT ? MAXT : nthreads);
+    if (nwin < 4 * T) T = 1;
+    int t;
+    for (t = 0; t < T; ++t) {
+        th[t].codes = codes;
+        th[t].n = n;
+        th[t].k = k;
+        th[t].w = w;
+        th[t].j0 = nwin * t / T;
+        th[t].j1 = nwin * (t + 1) / T;
+        th[t].hash_out = hash_out;
+        th[t].pos_out = pos_out;
+        pthread_create(&tid[t], 0, mzx_worker, &th[t]);
+    }
+    for (t = 0; t < T; ++t)
+        pthread_join(tid[t], 0);
+}
+
+/* Dedup over hash-sorted (h, c, p): keep the first TWO occurrences per
+ * unique hash, mark multi-occurrence entries ambiguous via the position
+ * sign bit, drop hashes occurring more than repeat_cap times entirely
+ * (exact twin of livefish/index.py build_index's NumPy dedup).  Outputs
+ * may alias inputs (write index never exceeds read index).  Returns the
+ * kept count. */
+int64_t mz_dedup(const uint32_t *h, const int32_t *c, const int32_t *p,
+                 int64_t n, int64_t repeat_cap,
+                 uint32_t *h2, int32_t *c2, int32_t *p2)
+{
+    int64_t i = 0, m = 0;
+    while (i < n) {
+        int64_t j = i + 1;
+        uint32_t hv = h[i];
+        while (j < n && h[j] == hv) ++j;
+        int64_t cnt = j - i;
+        if (cnt <= repeat_cap) {
+            if (cnt == 1) {
+                h2[m] = hv; c2[m] = c[i]; p2[m] = p[i]; ++m;
+            } else {
+                h2[m] = hv; c2[m] = c[i];
+                p2[m] = p[i] | (int32_t)0x80000000; ++m;
+                h2[m] = hv; c2[m] = c[i + 1];
+                p2[m] = p[i + 1] | (int32_t)0x80000000; ++m;
+            }
+        }
+        i = j;
+    }
+    return m;
+}
+
+/* (shard, bucket) histogram: hist[(h & (E-1)) << B | ((h >> log2e) & (2^B-1))]
+ * over deduped hashes — used to pick the bucket directory width B without
+ * materializing trial tables. */
+void mz_bucket_hist(const uint32_t *h, int64_t n, int log2e, int B,
+                    int32_t *hist)
+{
+    uint32_t emask = (1u << log2e) - 1;
+    uint32_t bmask = (1u << B) - 1;
+    int64_t i;
+    for (i = 0; i < n; ++i) {
+        uint32_t x = h[i];
+        hist[(((uint64_t)(x & emask)) << B) | ((x >> log2e) & bmask)] += 1;
+    }
+}
+
+typedef struct {
+    int32_t *rows;
+    int64_t n0, n1;
+} binit_t;
+
+static void *binit_worker(void *arg)
+{
+    binit_t *t = (binit_t *)arg;
+    int64_t r;
+    for (r = t->n0; r < t->n1; ++r) {
+        int32_t *row = t->rows + r * 8;
+        row[0] = row[1] = 0;
+        row[2] = row[3] = -1;      /* all four uint16 contig slots empty */
+        row[4] = row[5] = row[6] = row[7] = 0;
+    }
+    return 0;
+}
+
+/* Sequential-bandwidth btable init (the NumPy strided `[:, :, 2:4] = -1`
+ * over a multi-GB table was a visible fraction of the build). */
+void mz_btable_init(int32_t *btable, int64_t nrows, int nthreads)
+{
+    enum { MAXT = 32 };
+    binit_t th[MAXT];
+    pthread_t tid[MAXT];
+    int T = nthreads < 1 ? 1 : (nthreads > MAXT ? MAXT : nthreads);
+    if (nrows < (1 << 16)) T = 1;
+    int t;
+    for (t = 0; t < T; ++t) {
+        th[t].rows = btable;
+        th[t].n0 = nrows * t / T;
+        th[t].n1 = nrows * (t + 1) / T;
+        pthread_create(&tid[t], 0, binit_worker, &th[t]);
+    }
+    for (t = 0; t < T; ++t)
+        pthread_join(tid[t], 0);
+}
+
+/* Single-pass bucket fill: entries arrive in ascending-hash order (the
+ * dedup output), so slots within a bucket hold the lowest hashes first
+ * and ambiguous first/second occurrences stay adjacent in slot order —
+ * the invariants _lookup_votes relies on.  btable rows are 8 int32
+ * (16 uint16 halves, little-endian):
+ *   halves 0..3  = uint16 fingerprints (h >> (log2e + B))
+ *   halves 4..7  = uint16 contig ids (0xFFFF = empty slot)
+ *   words  4..7  = int32 positions (sign bit = ambiguous)
+ * The caller pre-fills contig halves with 0xFFFF.  Returns the number of
+ * entries dropped to bucket overflow (> K slots). */
+int64_t mz_bucket_fill(const uint32_t *h, const int32_t *c, const int32_t *p,
+                       int64_t n, int log2e, int B, int K, int32_t *btable)
+{
+    uint32_t emask = (1u << log2e) - 1;
+    uint32_t bmask = (1u << B) - 1;
+    int fp_shift = log2e + B;
+    int64_t dropped = 0;
+    int64_t i;
+    for (i = 0; i < n; ++i) {
+        uint32_t x = h[i];
+        uint64_t row = ((((uint64_t)(x & emask)) << B)
+                        | ((x >> log2e) & bmask));
+        uint16_t *r16 = (uint16_t *)(btable + row * 8);
+        int s;
+        for (s = 0; s < K; ++s)
+            if (r16[4 + s] == 0xFFFF) break;
+        if (s == K) {
+            ++dropped;
+            continue;
+        }
+        r16[s] = (uint16_t)(x >> fp_shift);
+        r16[4 + s] = (uint16_t)c[i];
+        ((int32_t *)r16)[4 + s] = p[i];
+    }
+    return dropped;
+}
