@@ -25,6 +25,12 @@ echo "== standalone binaries (ASan+UBSan, leaks ON) =="
 mkdir -p tmp_san
 $CC -O1 $SAN test_data/bedtools_lite.c -o tmp_san/bedtools_lite
 $CC -O1 $SAN test_data/gen_track.c -o tmp_san/gen_track -lz
+# every ctypes kernel, leak-checked directly (the pytest leg below must
+# disable leak detection for CPython's own exit-time "leaks"; this
+# driver is the valgrind-every-binary analog of the reference)
+$CC -O1 $SAN test_data/native_leak_driver.c cornetto_tpu/native/*.c \
+    -o tmp_san/native_leak_driver -lpthread
+./tmp_san/native_leak_driver
 
 # gen_track: 3 contigs x a few Mbp, plain + gzipped outputs
 printf 'ctgA\t2000000\nctgB\t1500000\nctgC\t500000\n' > tmp_san/lens.tsv
