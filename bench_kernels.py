@@ -287,6 +287,29 @@ def main() -> int:
         "reference_C_Mbases_per_s_same_box": 0.16,
     }
 
+    # round 4: the lane-parallel Pallas DP itself (SURVEY §7's hard
+    # kernel — 128 chunk-DPs as masked vector lanes, bit-identical via
+    # the chunked decomposition; kernels/pallas_sdust.py).  TPU-only:
+    # interpret mode exists for correctness tests, not speed.
+    if on_tpu_now:
+        from cornetto_tpu.kernels.pallas_sdust import sdust_pallas
+        sdust_pallas(dense_seq[:300_000])          # compile
+        t0 = time.perf_counter()
+        r_pl = sdust_pallas(dense_seq)
+        dt_pl = time.perf_counter() - t0
+        assert r_pl == r_dp
+        results["sdust_pallas_dense"] = {
+            "Mbases_per_s": round(Ld / dt_pl / 1e6, 3),
+            "speedup_vs_exact_DP": round(dt_dp / dt_pl, 2),
+            "speedup_vs_reference_C": round((Ld / dt_pl / 1e6) / 0.16, 1),
+            "bit_identical_vs_DP": True,
+        }
+    else:
+        results["sdust_pallas_dense"] = {
+            "skipped": "no TPU (Mosaic cannot compile on CPU; "
+                       "correctness via tests/test_pallas_sdust.py "
+                       "interpret mode)"}
+
     eng = SingleChipEngine(idx, panel)
     eng.contig_names = idx.contig_names
 

@@ -46,11 +46,12 @@ def _cmd_index(argv) -> int:
         sys.stderr.write("Usage: cornetto livefish index <draft.fasta> "
                          "[-o out] [-s shards] [-p panel.bed]\n")
         return 1
-    contigs = {rec.name: rec.seq for rec in read_fastx(args[0])}
-    # keep_tables=False: the engine needs only btable; the padded
+    # stream (name, seq) pairs: each contig string frees right after
+    # extraction instead of pinning the whole genome (~3 GB at 3 Gbp);
+    # keep_tables=False: the engine needs only btable — the padded
     # per-shard tables triple RAM + checkpoint size at genome scale
-    idx = build_index(contigs, n_shards=shards, k=k, w=w,
-                      keep_tables=False)
+    idx = build_index(((rec.name, rec.seq) for rec in read_fastx(args[0])),
+                      n_shards=shards, k=k, w=w, keep_tables=False)
     panel = None
     if panel_path:
         panel = build_panel_mask(idx, read_bed3(panel_path))
