@@ -293,7 +293,7 @@ def main() -> int:
     # interpret mode exists for correctness tests, not speed.
     if on_tpu_now:
         from cornetto_tpu.kernels.pallas_sdust import sdust_pallas
-        sdust_pallas(dense_seq[:300_000])          # compile
+        sdust_pallas(dense_seq)                    # compile (same shape)
         t0 = time.perf_counter()
         r_pl = sdust_pallas(dense_seq)
         dt_pl = time.perf_counter() - t0

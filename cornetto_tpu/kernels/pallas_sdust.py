@@ -322,6 +322,9 @@ def sdust_pallas_chunks(rows: np.ndarray, T: int = 20, W: int = DEF_W,
     n, CLEN = rows.shape
     MAXI = max(CLEN // 48, 16)
     g = -(-n // LANES)
+    # round the grid up to a power of two: one compile per size bucket
+    # instead of one per sequence length (all-N pad rows flush to empty)
+    g = 1 << (g - 1).bit_length() if g > 1 else 1
     padded = np.full((g * LANES, CLEN), 4, dtype=np.uint8)
     padded[:n] = rows
     # (g, CLEN, LANES) int32, lanes minor (Mosaic rejects a uint8 block

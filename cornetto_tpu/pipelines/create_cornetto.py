@@ -75,8 +75,22 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
                 "directory" % tmp)
     os.makedirs(tmp)
 
+    # per-stage wall/RSS markers (stderr): at 3 Gbp the chain is minutes
+    # long and the scale artifacts record where the time goes
+    import resource
+    import time as _time
+    _t0 = [_time.perf_counter()]
+
+    def _mark(name):
+        now = _time.perf_counter()
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+        log.info("panel-stage %s: %.1f s (peak RSS %.2f GB)"
+                 % (name, now - _t0[0], rss))
+        _t0[0] = now
+
     assbed = [(rec.name, 0, len(rec.seq)) for rec in read_fastx(fasta_path)]
     _write(os.path.join(tmp, basename + ".bed"), assbed)
+    _mark("assembly-bed")
 
     #1# interesting windows (noboringbits col4 != ".")
     opt = BoringbitsOptions(boring=False, high_cov_thresh=2.5,
@@ -85,6 +99,7 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
                             ranged_bedgraph=ranged_bedgraph)
     step1 = list(iter_fun_windows(bgtotal, bgmq20, opt))
     _write(os.path.join(tmp, "1_tmp.bed"), step1)
+    _mark("fun-windows")
 
     #2# merge within 1000 bp
     step2 = algebra.merge(algebra.gnu_sort_bed(step1), 1000)
@@ -124,6 +139,7 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
     _write(os.path.join(tmp, "short.bed"), short)
     boring = algebra.subtract(boring_tmp, short)
     _write(os.path.join(tmp, "boringbits.bed"), boring)
+    _mark("interval-chain")
 
     #10# bigenough + readfish targets
     out_bed = os.path.join(out_dir, base_prefix + ".boringbits.bed")
@@ -133,6 +149,7 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
         bigenough_tool.run(os.path.join(tmp, basename + ".bed"),
                            os.path.join(tmp, "boringbits.bed"), bopt,
                            out=fbed)
+    _mark("bigenough")
     return 0
 
 

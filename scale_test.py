@@ -193,14 +193,21 @@ def main():
     if os.path.isdir("tmp_create_cornetto"):
         import shutil
         shutil.rmtree("tmp_create_cornetto")
-    wall, rss, _ = _run_footer(
+    wall, rss, stderr_txt = _run_footer(
         cli + ["create-panel", "asm.fasta", "--backend=numpy"], env=env)
     panel_rows = sum(1 for _ in open("asm.boringbits.bed"))
     log("create-panel %.1fs peakRSS %s GB -> %d rows" % (wall, rss,
                                                          panel_rows))
+    import re as _re
+    breakdown = {m.group(1): {"wall_s": float(m.group(2)),
+                              "rss_gb_at_end": float(m.group(3))}
+                 for m in _re.finditer(
+                     r"panel-stage (\S+): ([0-9.]+) s "
+                     r"\(peak RSS ([0-9.]+) GB\)", stderr_txt)}
     results["stages"]["create_panel"] = {"wall_s": round(wall, 1),
                                          "peak_rss_gb": rss,
-                                         "panel_rows": panel_rows}
+                                         "panel_rows": panel_rows,
+                                         "breakdown": breakdown}
     flush_json()
 
     wall, rss, _ = _run_footer(cli + ["telostats", "asm.fasta"], env=env)
