@@ -83,8 +83,8 @@ def main():
 
     @jax.jit
     def lv_sum(t, hh, vv):
-        votes, numer = _lookup_votes(t, idx.bucket_shift, hh, vv, 2)
-        return jnp.sum(votes) + jnp.sum(numer)
+        stats = _lookup_votes(t, idx.bucket_shift, hh, vv, 2)
+        return sum(jnp.sum(x) for x in stats)
     print("lookup_votes_ms %.2f" % slope_ms(lambda: lv_sum(dt, h, v)),
           flush=True)
 

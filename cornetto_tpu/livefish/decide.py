@@ -49,14 +49,17 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
     exclude them from high-confidence coverage and split repeat reads
     across both copies.
 
-    Returns per-contig (b, C) int32 stats:
+    Returns per-contig (b, C) int32 stats, 9 planes:
       votes     — all hits (mapping evidence),
-      votes_un  — unambiguous hits,   numer_un — their position sums,
-      votes_amb — ambiguous hits,     numer_a1/numer_a2 — position sums of
-                  their first / second genome occurrences.
-    Position sums are int32: exact while contig_len * hits_per_read < 2^31
-    (~47 Mb contigs at the 45-minimizer chunk norm; est is bin-grade
-    beyond that).
+      votes_un  — unambiguous hits, (nu_hi, nu_lo) their position sums,
+      votes_amb — ambiguous hits,   (a1_hi, a1_lo) / (a2_hi, a2_lo) the
+                  position sums of their first / second occurrences.
+    Position sums are SPLIT into high/low 16-bit halves (sum of pos>>16
+    and of pos&0xFFFF): each half stays < 2^31 for any int32 positions
+    and <= 2^15 hits, so position means are EXACT for chromosome-scale
+    contigs (a single int32 sum wrapped beyond ~47 Mb contigs at the
+    45-minimizer chunk norm — human chr1 is 248 Mb).  _mean_split
+    reconstructs floor((hi*2^16 + lo)/n) without overflow.
     """
     import jax.numpy as jnp
     b, M = q_hash.shape
@@ -100,6 +103,8 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
         cr = contig.reshape(b, M)
         p1r = p1.reshape(b, M)
         p2r = p2.reshape(b, M)
+        p1h, p1l = p1r >> 16, p1r & 0xFFFF
+        p2h, p2l = p2r >> 16, p2r & 0xFFFF
         if n_contigs <= 64:
             # dense one-hot reduction beats scatter-add for small contig
             # counts; the (b, M, C) intermediates fuse into the reductions
@@ -108,12 +113,15 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
                 & fr[:, :, None]
             un = oh & ~ar[:, :, None]
             am = oh & ar[:, :, None]
+
+            def acc(m, v):
+                return jnp.sum(m * v[:, :, None], axis=1, dtype=jnp.int32)
             return (jnp.sum(oh, axis=1, dtype=jnp.int32),
                     jnp.sum(un, axis=1, dtype=jnp.int32),
-                    jnp.sum(un * p1r[:, :, None], axis=1, dtype=jnp.int32),
+                    acc(un, p1h), acc(un, p1l),
                     jnp.sum(am, axis=1, dtype=jnp.int32),
-                    jnp.sum(am * p1r[:, :, None], axis=1, dtype=jnp.int32),
-                    jnp.sum(am * p2r[:, :, None], axis=1, dtype=jnp.int32))
+                    acc(am, p1h), acc(am, p1l),
+                    acc(am, p2h), acc(am, p2l))
         rows = jnp.broadcast_to(jnp.arange(b, dtype=jnp.int32)[:, None],
                                 (b, M)).ravel()
         cols = cr.ravel()
@@ -123,12 +131,26 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
         at = z.at[rows, cols]
         return (at.add(fr.ravel().astype(jnp.int32)),
                 at.add(un.astype(jnp.int32)),
-                at.add((un * p1).astype(jnp.int32)),
+                at.add((un * p1h.ravel()).astype(jnp.int32)),
+                at.add((un * p1l.ravel()).astype(jnp.int32)),
                 at.add(am.astype(jnp.int32)),
-                at.add((am * p1).astype(jnp.int32)),
-                at.add((am * p2).astype(jnp.int32)))
+                at.add((am * p1h.ravel()).astype(jnp.int32)),
+                at.add((am * p1l.ravel()).astype(jnp.int32)),
+                at.add((am * p2h.ravel()).astype(jnp.int32)),
+                at.add((am * p2l.ravel()).astype(jnp.int32)))
 
     return _reduce(found, ambig, contig, p1, p2)
+
+
+def _mean_split(hi, lo, n):
+    """floor((hi*2^16 + lo) / n) in overflow-free int32: with hi = q*n+r,
+    it equals q*2^16 + (r*2^16 + lo)//n, and r*2^16 + lo < n*2^16 + n*2^16
+    stays well under 2^31 for n <= 2^14 hits."""
+    import jax.numpy as jnp
+    n = jnp.maximum(n, 1)
+    q = hi // n
+    r = hi - q * n
+    return (q << 16) + ((r << 16) + lo) // n
 
 
 def decision_core(btable, reads, panel_mask,
@@ -213,30 +235,33 @@ def _decide_from_minima(btable, h, valid, panel_mask, min_hits: int,
         my = jax.lax.axis_index(ep_axis).astype(jnp.uint32)
         own = (h & jnp.uint32(ep_size - 1)) == my
         valid = valid & own
-    stats6 = _lookup_votes(btable, bucket_shift, h, valid, n_contigs)
+    stats9 = _lookup_votes(btable, bucket_shift, h, valid, n_contigs)
     if ep_axis is not None:
-        stats = jnp.concatenate(stats6, axis=1)
+        stats = jnp.concatenate(stats9, axis=1)
         stats = jax.lax.psum_scatter(stats, ep_axis, scatter_dimension=0,
                                      tiled=True)
-        stats6 = [stats[:, i * n_contigs:(i + 1) * n_contigs]
-                  for i in range(6)]
-    votes, votes_un, numer_un, votes_amb, numer_a1, numer_a2 = stats6
+        stats9 = [stats[:, i * n_contigs:(i + 1) * n_contigs]
+                  for i in range(9)]
+    (votes, votes_un, nu_hi, nu_lo, votes_amb,
+     a1_hi, a1_lo, a2_hi, a2_lo) = stats9
     best = jnp.argmax(votes, axis=1).astype(jnp.int32)
 
     def _pick(a):
         return jnp.take_along_axis(a, best[:, None], axis=1)[:, 0]
     nhits = _pick(votes)
     nhits_hq = _pick(votes_un)          # MAPQ>=20 analog: unambiguous hits
-    nu, va = _pick(numer_un), _pick(votes_amb)
-    a1, a2 = _pick(numer_a1), _pick(numer_a2)
+    va = _pick(votes_amb)
     # position estimate prefers unambiguous hits; a read whose hits are
     # ALL ambiguous (wholly inside an exact repeat) gets both copies'
     # estimates so coverage mass can split across them (est == est2
     # whenever the read has any unique anchor)
     have_un = nhits_hq > 0
-    est_amb1 = a1 // jnp.maximum(va, 1)
-    est = jnp.where(have_un, nu // jnp.maximum(nhits_hq, 1), est_amb1)
-    est2 = jnp.where(have_un, est, a2 // jnp.maximum(va, 1))
+    est_amb1 = _mean_split(_pick(a1_hi), _pick(a1_lo), va)
+    est = jnp.where(have_un,
+                    _mean_split(_pick(nu_hi), _pick(nu_lo), nhits_hq),
+                    est_amb1)
+    est2 = jnp.where(have_un, est,
+                     _mean_split(_pick(a2_hi), _pick(a2_lo), va))
     mapped = nhits >= min_hits
     est_bin = jnp.clip(est // bin_size, 0, panel_mask.shape[1] - 1)
     in_panel = panel_mask[best, est_bin]

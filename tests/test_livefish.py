@@ -131,3 +131,42 @@ def test_sharded_matches_single(genome, panel_rows, dp, ep):
     # be sharding-invariant
     for a, b in zip(res1, resE):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_est_exact_on_chromosome_scale_positions():
+    """Position means must be exact for positions far beyond the ~47 Mb
+    ceiling a single int32 sum had (human chr1 is 248 Mb): the lookup
+    accumulates hi/lo 16-bit halves and _decide_from_minima reconstructs
+    floor(mean) overflow-free."""
+    import jax.numpy as jnp
+    from cornetto_tpu.livefish.decide import _decide_from_minima
+    from cornetto_tpu.livefish.index import build_index
+    rng = np.random.default_rng(21)
+    bases = np.array(list("ACGT"))
+    genome = {"big": "".join(bases[rng.integers(0, 4, 40_000)])}
+    idx = build_index(genome, n_shards=1)
+    bt = np.array(idx.btable[0])
+    # relocate every stored position to chromosome scale (~240 Mb):
+    # pos words are rows [:, 4:8]; keep the ambiguity sign bit
+    OFF = 240_000_000
+    pw = bt[:, 4:8]
+    ct = np.stack([(bt[:, 2] & 0xFFFF), (bt[:, 2] >> 16) & 0xFFFF,
+                   (bt[:, 3] & 0xFFFF), (bt[:, 3] >> 16) & 0xFFFF], axis=1)
+    used = ct != 0xFFFF
+    amb = (pw < 0) & used
+    base = np.where(used, (pw & 0x7FFFFFFF) + OFF, pw)
+    bt[:, 4:8] = np.where(amb, base | np.int32(-2**31),
+                          np.where(used, base, pw))
+    n = int(idx.shard_counts[0])
+    h = idx.hashes[0, :n]
+    q = jnp.asarray(h[:64][None, :])          # one read of 64 real hashes
+    d, best, est, nh, nhq, est2 = _decide_from_minima(
+        jnp.asarray(bt), q, jnp.ones_like(q, bool),
+        jnp.asarray(np.zeros((1, 128), bool)), 3, 1000, idx.bucket_shift)
+    # int64 oracle over the same stored (possibly relocated) positions
+    exp_pos = (idx.positions[0, :64].astype(np.int64) & 0x7FFFFFFF) + OFF
+    is_amb = idx.positions[0, :64] < 0
+    exp = int(exp_pos[~is_amb].sum() // max((~is_amb).sum(), 1)) \
+        if (~is_amb).any() else int(exp_pos[is_amb].sum() // is_amb.sum())
+    assert int(np.asarray(est)[0]) == exp
+    assert int(np.asarray(est)[0]) >= OFF     # no int32 wrap

@@ -127,10 +127,14 @@ def test_fingerprint_lookup_exact():
     assert amb.any(), "repeat failed to produce ambiguous hashes"
     pos = pos_raw & 0x7FFFFFFF
     q = jnp.asarray(h[:, None])                      # (n, 1): one per row
-    votes, votes_un, numer_un, votes_amb, numer_a1, numer_a2 = (
-        np.asarray(x) for x in _lookup_votes(
+    (votes, votes_un, nu_hi, nu_lo, votes_amb,
+     a1_hi, a1_lo, a2_hi, a2_lo) = (
+        np.asarray(x, dtype=np.int64) for x in _lookup_votes(
             jnp.asarray(idx.btable[0]), idx.bucket_shift, q,
             jnp.ones_like(q, dtype=bool), 2))
+    numer_un = (nu_hi << 16) + nu_lo
+    numer_a1 = (a1_hi << 16) + a1_lo
+    numer_a2 = (a2_hi << 16) + a2_lo
     rows = np.arange(n)
     exp_ctg = idx.contigs[0, :n]
     assert (votes.sum(axis=1) == 1).all()            # found, exactly once
