@@ -84,3 +84,26 @@ def test_fuzz_mixed():
         core = int(rng.integers(128, 1024))
         got = sdust_pallas(seq, core=core, interpret=True)
         assert got == sdust(seq), (trial, core, len(seq))
+
+
+def test_cli_backend_device_matches_host(tmp_path, monkeypatch):
+    # --backend device (interpret-mode on the CPU test backend via the
+    # kernel's own tests; here just the CLI wiring + byte identity)
+    import io
+    from cornetto_tpu.tools import sdust as tool
+    rng = np.random.default_rng(5)
+    fa = tmp_path / "x.fa"
+    with open(fa, "w") as f:
+        f.write(">c1\n" + ("ATTCC" * 300) + "\n>c2\n"
+                + "".join(np.array(list("ACGT"))[rng.integers(0, 4, 2000)])
+                + "\n")
+    host_out = io.StringIO()
+    tool.run(str(fa), out=host_out)
+    import cornetto_tpu.kernels.pallas_sdust as pk
+    real = pk.sdust_pallas
+    monkeypatch.setattr(pk, "sdust_pallas",
+                        lambda seq, T=20, W=64: real(seq, T=T, W=W,
+                                                     interpret=True))
+    dev_out = io.StringIO()
+    tool.run(str(fa), out=dev_out, backend="device")
+    assert dev_out.getvalue() == host_out.getvalue()
