@@ -221,6 +221,219 @@ def _bg_fill_error(err, row_base: int) -> None:
     sys.exit(1)
 
 
+def _row_windows(fp, window: int = 64 << 20):
+    """Windowed buffered reader: yields (base_ptr, blen, wrows, bufmem)
+    row-aligned text windows from any file-like `fp` using one persistent
+    readinto buffer (a bytes concat/slice shuffle costs three full copies
+    of the stream).  Shared IO skeleton of the depth loaders below."""
+    import ctypes
+    from cornetto_tpu import native
+    lib = native.load("bedgraph_native", "bedgraph_native.c")
+    nthreads = min(os.cpu_count() or 1, 16)
+    bufmem = bytearray(window + (1 << 16))
+    npbuf = np.frombuffer(bufmem, dtype=np.uint8)
+    base = ctypes.c_void_p(npbuf.ctypes.data)
+    tail_len = 0
+    eof = False
+    with fp:
+        while True:
+            nread = 0 if eof else (fp.readinto(
+                memoryview(bufmem)[tail_len:tail_len + window]) or 0)
+            total_b = tail_len + nread
+            if nread == 0:
+                eof = True
+                if total_b == 0:
+                    return
+                blen = total_b          # final rows, maybe no trailing LF
+            else:
+                cut = bufmem.rfind(b"\n", 0, total_b)
+                if cut < 0:
+                    # no full row yet (window smaller than one row):
+                    # grow the buffer and keep reading
+                    if total_b + window > len(bufmem):
+                        bufmem.extend(bytes(len(bufmem)))
+                        npbuf = np.frombuffer(bufmem, dtype=np.uint8)
+                        base = ctypes.c_void_p(npbuf.ctypes.data)
+                    tail_len = total_b
+                    continue
+                blen = cut + 1
+            wrows = int(lib.bg_count_nl(base, ctypes.c_int64(blen),
+                                        ctypes.c_int(nthreads)))
+            if bufmem[blen - 1] != 10:
+                wrows += 1
+            if wrows:
+                yield base, blen, wrows, bufmem
+            if eof:
+                return
+            tail_len = total_b - blen
+            if tail_len:
+                bufmem[0:tail_len] = bufmem[blen:total_b]
+
+
+class _FillState:
+    """Cross-window contig stitching shared by the streaming consumers:
+    wraps one bg_fill call per window and tracks contig continuations +
+    the incremental-start validation across window boundaries."""
+
+    def __init__(self, lib):
+        import ctypes
+        self.lib = lib
+        lib.bg_fill.restype = ctypes.c_int64
+        self.ct = ctypes
+        self.p = ctypes.POINTER(ctypes.c_int64)
+        self.u16p = ctypes.POINTER(ctypes.c_uint16)
+        self.nthreads = min(os.cpu_count() or 1, 16)
+        self.ctg_cap, self.tr_cap = 1 << 20, 1 << 16
+        self.ctg_row = np.empty(self.ctg_cap, np.int64)
+        self.ctg_off = np.empty(self.ctg_cap, np.int64)
+        self.ctg_len = np.empty(self.ctg_cap, np.int64)
+        self.ctg_first = np.empty(self.ctg_cap, np.int64)
+        self.tr_row = np.empty(self.tr_cap, np.int64)
+        self.tr_val = np.empty(self.tr_cap, np.int64)
+        self.prev_name = None
+        self.prev_last_start = -1
+        self.rows_total = 0
+
+    def fill(self, base, blen, depth_dst):
+        """Parse one window into depth_dst (>= wrows uint16 slots).
+        Returns (rows, segments, ssum, (tr_rows_local, tr_vals, tr_tot))
+        where segments = [(name_or_None_for_continuation, first_start,
+        row_lo, row_hi)] with window-local row indices."""
+        ctypes = self.ct
+        n_ctg = np.array([self.ctg_cap], np.int64)
+        ssum = np.zeros(1, np.int64)
+        n_tr = np.zeros(2, np.int64)
+        err = np.zeros(4, np.int64)
+        rows = self.lib.bg_fill(
+            base, ctypes.c_int64(blen), ctypes.c_int(self.nthreads),
+            depth_dst.ctypes.data_as(self.u16p),
+            self.ctg_row.ctypes.data_as(self.p),
+            self.ctg_off.ctypes.data_as(self.p),
+            self.ctg_len.ctypes.data_as(self.p),
+            self.ctg_first.ctypes.data_as(self.p),
+            n_ctg.ctypes.data_as(self.p), ssum.ctypes.data_as(self.p),
+            self.tr_row.ctypes.data_as(self.p),
+            self.tr_val.ctypes.data_as(self.p),
+            ctypes.c_int64(self.tr_cap), n_tr.ctypes.data_as(self.p),
+            err.ctypes.data_as(self.p))
+        if rows == -2:
+            return None    # > 1M contigs in one window: generic path
+        if rows == -1:
+            _bg_fill_error(err, self.rows_total)
+        rows = int(rows)
+        nc = int(n_ctg[0])
+        segments = []
+        # mm buffer names must be copied out before the window is reused
+        for k in range(nc):
+            off = int(self.ctg_off[k])
+            nm = bytes(memoryview(self._buf)[off:off
+                                             + int(self.ctg_len[k])]) \
+                .decode()
+            fs = int(self.ctg_first[k])
+            lo = int(self.ctg_row[k])
+            hi = int(self.ctg_row[k + 1]) if k + 1 < nc else rows
+            if k == 0 and self.prev_name is not None \
+                    and nm == self.prev_name:
+                # contig continues across the window boundary
+                if fs != self.prev_last_start + 1:
+                    log.error("The depth files should be incremantal "
+                              "at one base resolution. Found %d to %d"
+                              % (self.prev_last_start, fs))
+                    sys.exit(1)
+                segments.append((None, fs, lo, hi))
+            else:
+                segments.append((nm, fs, lo, hi))
+                self.prev_name = nm
+        self.prev_last_start = (int(self.ctg_first[nc - 1])
+                                + (rows - int(self.ctg_row[nc - 1]) - 1))
+        ne = int(n_tr[0])
+        tr = (self.tr_row[:ne].copy(), self.tr_val[:ne].copy(),
+              int(n_tr[1]))
+        self.rows_total += rows
+        return rows, segments, int(ssum[0]), tr
+
+
+def scan_depth_track(path: str, window: int = 64 << 20):
+    """PASS 1 of the low-memory mode: stream the whole track computing
+    per-contig (name, length, first_start), the clamped global sum and
+    the truncation warnings — with NO depth storage (peak = one window).
+    Returns (names, lengths, firsts, clamped_sum,
+    [(contig_idx, pos, value)] truncations, trunc_total) or None if the
+    native kernel is unavailable."""
+    from cornetto_tpu import native
+    lib = native.load("bedgraph_native", "bedgraph_native.c")
+    if lib is None or not hasattr(lib, "bg_fill"):
+        return None
+    fp = (_gz_reader(path) if _is_gzip(path)
+          else open(path, "rb"))
+    st = _FillState(lib)
+    scratch = np.empty(1, np.uint16)
+    names, lengths, firsts = [], [], []
+    sum_total = 0
+    truncs = []
+    tr_total = 0
+    for base, blen, wrows, bufmem in _row_windows(fp, window):
+        if wrows > len(scratch):
+            scratch = np.empty(wrows, np.uint16)
+        st._buf = bufmem
+        got = st.fill(base, blen, scratch)
+        if got is None:
+            return None
+        rows, segments, ssum, (trr, trv, trt) = got
+        row0 = st.rows_total - rows
+        for nm, fs, lo, hi in segments:
+            if nm is None:
+                lengths[-1] += hi - lo
+            else:
+                names.append(nm)
+                firsts.append(fs)
+                lengths.append(hi - lo)
+            # truncation rows inside this segment -> absolute positions
+            for r, v in zip(trr, trv):
+                if lo <= r < hi:
+                    pos = firsts[-1] + (lengths[-1] - (hi - r))
+                    truncs.append((len(names) - 1, int(pos), int(v)))
+        sum_total += ssum
+        tr_total += trt
+    return names, lengths, firsts, sum_total, truncs, tr_total
+
+
+def iter_depth_contigs(path: str, lengths, window: int = 64 << 20):
+    """PASS 2 of the low-memory mode: yield one uint16 depth array per
+    contig, in file order, peak memory = the largest contig + one window
+    (lengths from scan_depth_track pre-size each buffer exactly)."""
+    from cornetto_tpu import native
+    lib = native.load("bedgraph_native", "bedgraph_native.c")
+    fp = (_gz_reader(path) if _is_gzip(path)
+          else open(path, "rb"))
+    st = _FillState(lib)
+    scratch = np.empty(1, np.uint16)
+    ci = -1
+    cur = None
+    filled = 0
+    for base, blen, wrows, bufmem in _row_windows(fp, window):
+        if wrows > len(scratch):
+            scratch = np.empty(wrows, np.uint16)
+        st._buf = bufmem
+        rows, segments, _ssum, _tr = st.fill(base, blen, scratch)
+        for nm, fs, lo, hi in segments:
+            if nm is not None:
+                if cur is not None:
+                    yield cur
+                ci += 1
+                cur = np.empty(lengths[ci], np.uint16)
+                filled = 0
+            cur[filled:filled + (hi - lo)] = scratch[lo:hi]
+            filled += hi - lo
+    if cur is not None:
+        yield cur
+
+
+def _gz_reader(path: str):
+    import gzip
+    return gzip.GzipFile(fileobj=open(path, "rb"))
+
+
 def _load_depth_windows(fp, size_hint: int = 0, window: int = 64 << 20,
                         raw_tell=None):
     """Shared windowed streaming loader behind _load_depth_streaming:
