@@ -133,6 +133,10 @@ def main():
     ap.add_argument("--json", default=None,
                     help="write stage wall-clock/RSS results to this file")
     ap.add_argument("--skip-gen", action="store_true")
+    ap.add_argument("--only", default=None,
+                    help="comma list of stages to run (default all); "
+                         "others keep their values from an existing "
+                         "--json file")
     ap.add_argument("--ref-bin",
                     default=os.environ.get("CORNETTO_C",
                                            "/tmp/refsrc/cornetto"))
@@ -140,6 +144,16 @@ def main():
     wd = args.workdir
     repo = os.path.dirname(os.path.abspath(__file__))
     results = {"mbp": args.mbp, "gz_tracks": args.gz, "stages": {}}
+    only = set(args.only.split(",")) if args.only else None
+    if only and args.json:
+        import json as _json
+        path = args.json if os.path.isabs(args.json) \
+            else os.path.join(repo, args.json)
+        if os.path.exists(path):
+            results = _json.load(open(path))
+
+    def want(stage):
+        return only is None or stage in only
 
     def flush_json():
         # checkpoint after every stage so an interrupted run still
@@ -167,17 +181,38 @@ def main():
     # JAX_PLATFORMS, and PYTHONPATH breaks its discovery anyway)
     cli = [sys.executable, "-m", "cornetto_tpu.cli"]
     env = dict(os.environ, PYTHONPATH=repo, CORNETTO_FORCE_CPU="1")
-    wall, rss, _ = _run_footer(
-        cli + ["noboringbits", "asm.cov-total.bg", "-q", "asm.cov-mq20.bg"],
-        stdout_path="my_fun.txt", env=env)
-    log("our noboringbits %.1fs peakRSS %s GB" % (wall, rss))
-    results["stages"]["noboringbits_ours"] = {"wall_s": round(wall, 1),
-                                              "peak_rss_gb": rss}
-    flush_json()
+    if want("noboringbits"):
+        wall, rss, _ = _run_footer(
+            cli + ["noboringbits", "asm.cov-total.bg",
+                   "-q", "asm.cov-mq20.bg"],
+            stdout_path="my_fun.txt", env=env)
+        log("our noboringbits %.1fs peakRSS %s GB" % (wall, rss))
+        results["stages"]["noboringbits_ours"] = {"wall_s": round(wall, 1),
+                                                  "peak_rss_gb": rss}
+        flush_json()
+
+    if want("noboringbits_lowmem"):
+        # forced two-pass streaming (auto only engages for plain text;
+        # at 3 Gbp gz this pays the inflate twice to run a whole human
+        # genome in ~the largest contig of RAM)
+        wall, rss, _ = _run_footer(
+            cli + ["noboringbits", "asm.cov-total.bg",
+                   "-q", "asm.cov-mq20.bg", "--low-mem"],
+            stdout_path="my_fun_lowmem.txt", env=env)
+        same = (os.path.exists("my_fun.txt")
+                and open("my_fun_lowmem.txt").read()
+                == open("my_fun.txt").read())
+        log("our noboringbits --low-mem %.1fs peakRSS %s GB identical=%s"
+            % (wall, rss, same))
+        results["stages"]["noboringbits_ours_lowmem"] = {
+            "wall_s": round(wall, 1), "peak_rss_gb": rss,
+            "identical_to_default_mode": same}
+        flush_json()
+        assert same or not os.path.exists("my_fun.txt")
 
     # oracle diff for the hot tool (plain-text tracks only: the reference
     # fscanf-parses, /root/reference/src/boringbits_main.c:184-214)
-    if os.path.exists(args.ref_bin) and not args.gz:
+    if want("reference") and os.path.exists(args.ref_bin) and not args.gz:
         wall, rss, _ = _run_footer(
             [args.ref_bin, "noboringbits", "asm.cov-total.bg",
              "-q", "asm.cov-mq20.bg"], stdout_path="ref_fun.txt")
@@ -190,39 +225,44 @@ def main():
         flush_json()
         assert same
 
-    if os.path.isdir("tmp_create_cornetto"):
-        import shutil
-        shutil.rmtree("tmp_create_cornetto")
-    wall, rss, stderr_txt = _run_footer(
-        cli + ["create-panel", "asm.fasta", "--backend=numpy"], env=env)
-    panel_rows = sum(1 for _ in open("asm.boringbits.bed"))
-    log("create-panel %.1fs peakRSS %s GB -> %d rows" % (wall, rss,
-                                                         panel_rows))
-    import re as _re
-    breakdown = {m.group(1): {"wall_s": float(m.group(2)),
-                              "rss_gb_at_end": float(m.group(3))}
-                 for m in _re.finditer(
-                     r"panel-stage (\S+): ([0-9.]+) s "
-                     r"\(peak RSS ([0-9.]+) GB\)", stderr_txt)}
-    results["stages"]["create_panel"] = {"wall_s": round(wall, 1),
-                                         "peak_rss_gb": rss,
-                                         "panel_rows": panel_rows,
-                                         "breakdown": breakdown}
-    flush_json()
+    if want("create_panel"):
+        if os.path.isdir("tmp_create_cornetto"):
+            import shutil
+            shutil.rmtree("tmp_create_cornetto")
+        wall, rss, stderr_txt = _run_footer(
+            cli + ["create-panel", "asm.fasta", "--backend=numpy"],
+            env=env)
+        panel_rows = sum(1 for _ in open("asm.boringbits.bed"))
+        log("create-panel %.1fs peakRSS %s GB -> %d rows"
+            % (wall, rss, panel_rows))
+        import re as _re
+        breakdown = {m.group(1): {"wall_s": float(m.group(2)),
+                                  "rss_gb_at_end": float(m.group(3))}
+                     for m in _re.finditer(
+                         r"panel-stage (\S+): ([0-9.]+) s "
+                         r"\(peak RSS ([0-9.]+) GB\)", stderr_txt)}
+        results["stages"]["create_panel"] = {"wall_s": round(wall, 1),
+                                             "peak_rss_gb": rss,
+                                             "panel_rows": panel_rows,
+                                             "breakdown": breakdown}
+        flush_json()
 
-    wall, rss, _ = _run_footer(cli + ["telostats", "asm.fasta"], env=env)
-    log("telostats %.1fs peakRSS %s GB" % (wall, rss))
-    results["stages"]["telostats"] = {"wall_s": round(wall, 1),
-                                      "peak_rss_gb": rss}
-    flush_json()
+    if want("telostats"):
+        wall, rss, _ = _run_footer(cli + ["telostats", "asm.fasta"],
+                                   env=env)
+        log("telostats %.1fs peakRSS %s GB" % (wall, rss))
+        results["stages"]["telostats"] = {"wall_s": round(wall, 1),
+                                          "peak_rss_gb": rss}
+        flush_json()
 
-    wall, rss, _ = _run_footer(
-        cli + ["livefish", "index", "asm.fasta", "-o", "asm.lfidx",
-               "-p", "asm.boringbits.bed"], env=env)
-    log("livefish index %.1fs peakRSS %s GB" % (wall, rss))
-    results["stages"]["livefish_index"] = {"wall_s": round(wall, 1),
-                                           "peak_rss_gb": rss}
-    flush_json()
+    if want("livefish_index"):
+        wall, rss, _ = _run_footer(
+            cli + ["livefish", "index", "asm.fasta", "-o", "asm.lfidx",
+                   "-p", "asm.boringbits.bed"], env=env)
+        log("livefish index %.1fs peakRSS %s GB" % (wall, rss))
+        results["stages"]["livefish_index"] = {"wall_s": round(wall, 1),
+                                               "peak_rss_gb": rss}
+        flush_json()
     if args.json:
         log("results -> %s" % args.json)
     log("OK")
