@@ -51,7 +51,7 @@ from cornetto_tpu.kernels.sdust_chunked import (DEF_W, assemble, plan_chunks,
                                                 run_host_spans)
 
 SD_WLEN = 3
-LANES = 128
+LANES = 512
 ROWS = 64       # ring capacity (>= W - SD_WLEN + 1 = 62) AND word values
 
 
