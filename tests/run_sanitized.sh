@@ -71,6 +71,7 @@ ASAN_OPTIONS="detect_leaks=0:halt_on_error=1:abort_on_error=1" \
 UBSAN_OPTIONS="halt_on_error=1:abort_on_error=1" \
 python3 -m pytest -x -q --runslow \
     tests/test_livefish_stream.py \
+    tests/test_livefish_index_native.py \
     tests/test_sdust_device.py \
     tests/test_bam_write.py \
     tests/test_bam_depth.py \
