@@ -53,7 +53,8 @@ def contig_edges(assbed: List[Row], edge: int = 200000) -> List[Row]:
 
 
 def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
-        backend: str = "auto", ranged_bedgraph: bool = False) -> int:
+        backend: str = "auto", ranged_bedgraph: bool = False,
+        low_mem: str = "auto") -> int:
     # ranged_bedgraph: accept run-length coverage tracks (the aligner-free
     # approximate-panel mode of livefish.coverage) instead of the 1-bp
     # samtools-depth format
@@ -95,7 +96,7 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
     #1# interesting windows (noboringbits col4 != ".")
     opt = BoringbitsOptions(boring=False, high_cov_thresh=2.5,
                             low_cov_thresh=0.4, low_mq_cov_thresh=0.4,
-                            backend=backend,
+                            backend=backend, low_mem=low_mem,
                             ranged_bedgraph=ranged_bedgraph)
     step1 = list(iter_fun_windows(bgtotal, bgmq20, opt))
     _write(os.path.join(tmp, "1_tmp.bed"), step1)
@@ -155,11 +156,16 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
 
 def main(argv) -> int:
     backend = "auto"
+    low_mem = "auto"
     ranged = False
     args = []
     for a in argv:
         if a.startswith("--backend="):
             backend = a.split("=", 1)[1]
+        elif a == "--low-mem":
+            # force the two-pass streaming fun-windows scan (peak RSS =
+            # largest contig instead of both whole-genome tracks)
+            low_mem = "yes"
         elif a == "--ranged-bedgraph":
             # aligner-free approx-panel mode: coverage tracks produced by
             # `cornetto livefish cov` instead of minimap2+samtools depth
@@ -171,4 +177,5 @@ def main(argv) -> int:
                          "cornetto create-panel <assembly.fa> "
                          "[--ranged-bedgraph]\n" % len(args))
         return 1
-    return run(args[0], backend=backend, ranged_bedgraph=ranged)
+    return run(args[0], backend=backend, ranged_bedgraph=ranged,
+               low_mem=low_mem)
