@@ -94,3 +94,31 @@ def test_lowmem_iter_fun_windows_matches(tmp_path):
     got_mem = list(boringbits.iter_fun_windows(str(ct), str(cm), opt_mem))
     got_str = list(boringbits.iter_fun_windows(str(ct), str(cm), opt_str))
     assert got_str == got_mem and len(got_mem) > 0
+
+
+def test_scan_and_iter_window_invariance(tmp_path):
+    # multi-window stitching: results must not depend on the window size
+    # (contigs + truncations straddling window boundaries)
+    from cornetto_tpu.io.bed import iter_depth_contigs, scan_depth_track
+    rows = []
+    for ctg, n, base in (("aa", 900, 5), ("bb", 1300, 65530),
+                         ("cc", 11, 70000)):
+        for i in range(n):
+            rows.append("%s\t%d\t%d\t%d\n" % (ctg, i, i + 1, base + i))
+    p = tmp_path / "w.bg"
+    p.write_text("".join(rows))
+    big = scan_depth_track(str(p))
+    assert big is not None
+    for w in (97, 1024, 65536):
+        small = scan_depth_track(str(p), window=w)
+        assert small == big, w
+        a = list(iter_depth_contigs(str(p), big[1], window=w))
+        b = list(iter_depth_contigs(str(p), big[1]))
+        assert len(a) == len(b) == 3
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    # truncation bookkeeping: every bb row >= 65536 and all cc rows
+    names, lengths, firsts, s, truncs, tot = big
+    assert names == ["aa", "bb", "cc"]
+    assert tot == (1300 - 6) + 11
+    assert all(v > 65535 for _ci, _pos, v in truncs)
