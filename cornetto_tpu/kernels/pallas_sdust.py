@@ -51,7 +51,10 @@ from cornetto_tpu.kernels.sdust_chunked import (DEF_W, assemble, plan_chunks,
                                                 run_host_spans)
 
 SD_WLEN = 3
-LANES = 512
+LANES_DEFAULT = 512  # default chunk-lanes per grid step: measured optimum on
+                # v5e (128 was instruction-issue-bound: 1.9 -> 2.2 Mb/s
+                # dense; 1024 exceeds VMEM with the codes block).
+                # Interpret-mode tests pass lanes=128 for simulation speed.
 ROWS = 64       # ring capacity (>= W - SD_WLEN + 1 = 62) AND word values
 
 
@@ -62,7 +65,7 @@ def _roll1(a):
 
 
 def _sdust_kernel(codes_ref, outs_ref, outf_ref, outn_ref, *,
-                  T: int, W: int, CLEN: int, MAXI: int):
+                  T: int, W: int, CLEN: int, MAXI: int, LANES: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -311,14 +314,15 @@ def _sdust_kernel(codes_ref, outs_ref, outf_ref, outn_ref, *,
 
 
 def sdust_pallas_chunks(rows: np.ndarray, T: int = 20, W: int = DEF_W,
-                        interpret: bool = False):
+                        interpret: bool = False, lanes: int = None):
     """Run the lane-parallel DP over (n, CLEN) uint8 code rows (4 = N);
-    n padded to a LANES multiple internally.  Returns per-row interval
+    n padded to a lane multiple internally.  Returns per-row interval
     lists in ROW-LOCAL coordinates plus an overflow mask."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
+    LANES = lanes or LANES_DEFAULT
     n, CLEN = rows.shape
     MAXI = max(CLEN // 48, 16)
     g = -(-n // LANES)
@@ -333,7 +337,7 @@ def sdust_pallas_chunks(rows: np.ndarray, T: int = 20, W: int = DEF_W,
     blocks = (padded.reshape(g, LANES, CLEN).transpose(0, 2, 1)
               .astype(np.int32))
 
-    fn = _jit_kernel(CLEN, MAXI, T, W, interpret)
+    fn = _jit_kernel(CLEN, MAXI, T, W, interpret, LANES)
     outs, outf, outn = fn(jnp.asarray(blocks))
     outs = np.asarray(outs)
     outf = np.asarray(outf)
@@ -353,12 +357,14 @@ def sdust_pallas_chunks(rows: np.ndarray, T: int = 20, W: int = DEF_W,
 
 
 @functools.lru_cache(maxsize=None)
-def _jit_kernel(CLEN: int, MAXI: int, T: int, W: int, interpret: bool):
+def _jit_kernel(CLEN: int, MAXI: int, T: int, W: int, interpret: bool,
+                LANES: int):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
 
-    kern = functools.partial(_sdust_kernel, T=T, W=W, CLEN=CLEN, MAXI=MAXI)
+    kern = functools.partial(_sdust_kernel, T=T, W=W, CLEN=CLEN, MAXI=MAXI,
+                             LANES=LANES)
 
     def run(blocks):
         g = blocks.shape[0]
@@ -383,8 +389,8 @@ def _jit_kernel(CLEN: int, MAXI: int, T: int, W: int, interpret: bool):
 
 
 def sdust_pallas(seq: bytes, T: int = 20, W: int = DEF_W,
-                 core: int = 2048, interpret: bool = False
-                 ) -> List[Tuple[int, int]]:
+                 core: int = 2048, interpret: bool = False,
+                 lanes: int = None) -> List[Tuple[int, int]]:
     """Full-sequence SDUST on TPU: plan chunks, run the lane-parallel DP,
     re-run overflow/N-proximal chunks exactly on host, clip and union
     (bit-identical to the sequential DP)."""
@@ -402,7 +408,8 @@ def sdust_pallas(seq: bytes, T: int = 20, W: int = DEF_W,
             rows[r, pad_left:pad_left + (stop - c0)] = codes[c0:stop]
             offs.append(c0 - pad_left)
         per_row, overflow = sdust_pallas_chunks(rows, T=T, W=W,
-                                                interpret=interpret)
+                                                interpret=interpret,
+                                                lanes=lanes)
         per_chunk = []
         for r, (a, b, c0, stop) in enumerate(device):
             if overflow[r]:

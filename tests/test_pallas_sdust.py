@@ -26,19 +26,19 @@ def _satellite(rng, n, unit="ATTCC", seg=1200, dense=0.6):
 def test_dense_satellite():
     rng = np.random.default_rng(10)
     seq = _satellite(rng, 12_000).encode()
-    assert sdust_pallas(seq, core=1024, interpret=True) == sdust(seq)
+    assert sdust_pallas(seq, core=1024, interpret=True, lanes=128) == sdust(seq)
 
 
 def test_pure_repeat():
     seq = ("ATT" * 4000).encode()
-    assert sdust_pallas(seq, core=512, interpret=True) == sdust(seq)
+    assert sdust_pallas(seq, core=512, interpret=True, lanes=128) == sdust(seq)
 
 
 def test_random_sparse():
     rng = np.random.default_rng(11)
     seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 8_000)])
     seq = seq.encode()
-    assert sdust_pallas(seq, core=1024, interpret=True) == sdust(seq)
+    assert sdust_pallas(seq, core=1024, interpret=True, lanes=128) == sdust(seq)
 
 
 def test_with_ns():
@@ -48,7 +48,7 @@ def test_with_ns():
         for i in range(lo, hi):
             base[i] = "N"
     seq = "".join(base).encode()
-    assert sdust_pallas(seq, core=768, interpret=True) == sdust(seq)
+    assert sdust_pallas(seq, core=768, interpret=True, lanes=128) == sdust(seq)
 
 
 def test_short_and_edges():
@@ -56,9 +56,9 @@ def test_short_and_edges():
     for n in (0, 1, 2, 3, 7, 63, 64, 65, 200):
         seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, n)])
         seq = seq.encode() if n else b""
-        assert sdust_pallas(seq, core=128, interpret=True) == sdust(seq)
+        assert sdust_pallas(seq, core=128, interpret=True, lanes=128) == sdust(seq)
     # all-N
-    assert sdust_pallas(b"N" * 500, core=128, interpret=True) == \
+    assert sdust_pallas(b"N" * 500, core=128, interpret=True, lanes=128) == \
         sdust(b"N" * 500)
 
 
@@ -82,7 +82,7 @@ def test_fuzz_mixed():
                 parts.append(_satellite(rng, n, seg=173))
         seq = "".join(parts).encode()
         core = int(rng.integers(128, 1024))
-        got = sdust_pallas(seq, core=core, interpret=True)
+        got = sdust_pallas(seq, core=core, interpret=True, lanes=128)
         assert got == sdust(seq), (trial, core, len(seq))
 
 
@@ -103,7 +103,7 @@ def test_cli_backend_device_matches_host(tmp_path, monkeypatch):
     real = pk.sdust_pallas
     monkeypatch.setattr(pk, "sdust_pallas",
                         lambda seq, T=20, W=64: real(seq, T=T, W=W,
-                                                     interpret=True))
+                                                     interpret=True, lanes=128))
     dev_out = io.StringIO()
     tool.run(str(fa), out=dev_out, backend="device")
     assert dev_out.getvalue() == host_out.getvalue()
