@@ -248,10 +248,13 @@ def _row_windows(fp, window: int = 64 << 20):
             else:
                 cut = bufmem.rfind(b"\n", 0, total_b)
                 if cut < 0:
-                    # no full row yet (window smaller than one row):
-                    # grow the buffer and keep reading
+                    # no full row yet (window smaller than one row): grow
+                    # into a FRESH bytearray — extend() would raise
+                    # BufferError while the np.frombuffer export is alive
                     if total_b + window > len(bufmem):
-                        bufmem.extend(bytes(len(bufmem)))
+                        grown = bytearray(len(bufmem) * 2)
+                        grown[:total_b] = bufmem[:total_b]
+                        bufmem = grown
                         npbuf = np.frombuffer(bufmem, dtype=np.uint8)
                         base = ctypes.c_void_p(npbuf.ctypes.data)
                     tail_len = total_b
@@ -500,10 +503,13 @@ def _load_depth_windows(fp, size_hint: int = 0, window: int = 64 << 20,
             else:
                 cut = bufmem.rfind(b"\n", 0, total_b)
                 if cut < 0:
-                    # no full row yet (window smaller than one row):
-                    # grow the buffer and keep reading
+                    # no full row yet (window smaller than one row): grow
+                    # into a FRESH bytearray — extend() would raise
+                    # BufferError while the np.frombuffer export is alive
                     if total_b + window > len(bufmem):
-                        bufmem.extend(bytes(len(bufmem)))
+                        grown = bytearray(len(bufmem) * 2)
+                        grown[:total_b] = bufmem[:total_b]
+                        bufmem = grown
                         npbuf = np.frombuffer(bufmem, dtype=np.uint8)
                         base = ctypes.c_void_p(npbuf.ctypes.data)
                     tail_len = total_b

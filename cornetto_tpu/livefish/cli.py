@@ -153,7 +153,7 @@ def _cmd_replay(argv) -> int:
         log.die("--state must be host or device (got %s)" % state)
     # --state device keeps accumulated per-channel prefixes ON DEVICE and
     # uploads only each tick's new chunk bytes (DeviceChunkEngine);
-    # requires pure-ACGT chunks and chunk_len %% 4 == 0
+    # requires pure-ACGT chunks and chunk_len % 4 == 0
     cls = DeviceChunkEngine if state == "device" else ChunkDecisionEngine
     if state == "device" and chunk_len % 4:
         log.die("--state device needs chunk_len % 4 == 0")

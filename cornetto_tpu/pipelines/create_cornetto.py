@@ -83,9 +83,16 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
     _t0 = [_time.perf_counter()]
 
     def _mark(name):
+        # same measure + unit as the run footer (utils/timing.py:
+        # ru_maxrss KiB -> GiB) so the per-stage numbers and the
+        # process-level "Peak RAM" agree; ru_maxrss is a process-wide
+        # MONOTONE peak, so this is "peak so far", not a per-stage peak
+        # (round-4 artifact mixed /1e6 here with /1024^2 in the footer:
+        # a stage appeared to out-peak its own run by 4.9%)
         now = _time.perf_counter()
-        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-        log.info("panel-stage %s: %.1f s (peak RSS %.2f GB)"
+        rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss \
+            / 1024.0 / 1024.0
+        log.info("panel-stage %s: %.1f s (peak RSS so far %.2f GB)"
                  % (name, now - _t0[0], rss))
         _t0[0] = now
 

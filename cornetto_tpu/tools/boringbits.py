@@ -161,10 +161,12 @@ def _run_streaming(cov_total_path: str, cov_mq_path: str,
                                * np.float32(mean_depth)))
     thresh_high = c_round(float(np.float32(opt.high_cov_thresh)
                                 * np.float32(mean_depth)))
+    n_done = 0
     for name, depth, mq_depth in zip(
             n1,
             _prefetch(iter_depth_contigs(cov_total_path, len1)),
             _prefetch(iter_depth_contigs(cov_mq_path, len2))):
+        n_done += 1
         length = len(depth)
         st, end, d, mq = stats_fn(depth.astype(np.int32),
                                   mq_depth.astype(np.int32),
@@ -175,22 +177,34 @@ def _run_streaming(cov_total_path: str, cov_mq_path: str,
         else:
             _print_fun(out, name, length, st, end, d, mq,
                        thresh_low, thresh_high, opt)
+    if n_done != len(n1):
+        # pass 2 saw fewer contigs than pass 1 (file changed between
+        # passes?) — never emit truncated output with exit status 0
+        log.error("low-mem pass 2 yielded %d of %d contigs"
+                  % (n_done, len(n1)))
+        sys.exit(1)
     return True
 
 
 def _prefetch(gen, depth: int = 2):
     """Run a generator on its own thread with a small queue so the two
     per-contig track streams parse concurrently (peak memory grows by at
-    most `depth` extra contigs)."""
+    most `depth` extra contigs).  Worker failures (including the
+    SystemExit a parse error raises) are re-raised in the consumer — a
+    swallowed pass-2 error would end the zip early and emit TRUNCATED
+    output with exit status 0."""
     import queue
     import threading
     q = queue.Queue(maxsize=depth)
     DONE = object()
+    err = []
 
     def work():
         try:
             for item in gen:
                 q.put(item)
+        except BaseException as e:
+            err.append(e)
         finally:
             q.put(DONE)
 
@@ -198,6 +212,8 @@ def _prefetch(gen, depth: int = 2):
     while True:
         item = q.get()
         if item is DONE:
+            if err:
+                raise err[0]
             return
         yield item
 
@@ -310,10 +326,12 @@ def _iter_fun_windows_streaming(cov_total_path, cov_mq_path,
                                    * np.float32(mean_depth)))
         thresh_high = c_round(float(np.float32(opt.high_cov_thresh)
                                     * np.float32(mean_depth)))
+        n_done = 0
         for name, depth, mq_depth in zip(
                 n1,
                 _prefetch(iter_depth_contigs(cov_total_path, len1)),
                 _prefetch(iter_depth_contigs(cov_mq_path, len2))):
+            n_done += 1
             if len(depth) < opt.min_ctg_len:
                 continue
             st, end, d, mq = stats_fn(depth.astype(np.int32),
@@ -323,6 +341,10 @@ def _iter_fun_windows_streaming(cov_total_path, cov_mq_path,
                                opt.low_mq_cov_thresh)
             for j in np.flatnonzero(viol):
                 yield (name, int(st[j]), int(end[j]))
+        if n_done != len(n1):
+            log.error("low-mem pass 2 yielded %d of %d contigs"
+                      % (n_done, len(n1)))
+            sys.exit(1)
     return gen()
 
 

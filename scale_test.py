@@ -236,16 +236,52 @@ def main():
         log("create-panel %.1fs peakRSS %s GB -> %d rows"
             % (wall, rss, panel_rows))
         import re as _re
+        # "peak RSS so far" = ru_maxrss at stage end, footer units (GiB):
+        # a monotone running peak, NOT a per-stage peak — so every value
+        # here is <= the stage's peak_rss_gb by construction
         breakdown = {m.group(1): {"wall_s": float(m.group(2)),
-                                  "rss_gb_at_end": float(m.group(3))}
+                                  "peak_rss_so_far_gb": float(m.group(3))}
                      for m in _re.finditer(
                          r"panel-stage (\S+): ([0-9.]+) s "
-                         r"\(peak RSS ([0-9.]+) GB\)", stderr_txt)}
+                         r"\(peak RSS so far ([0-9.]+) GB\)", stderr_txt)}
         results["stages"]["create_panel"] = {"wall_s": round(wall, 1),
                                              "peak_rss_gb": rss,
                                              "panel_rows": panel_rows,
                                              "breakdown": breakdown}
         flush_json()
+
+    if want("create_panel_lowmem"):
+        # --low-mem routes the fun-windows stage through the two-pass
+        # streaming scan (peak = largest contig, not both whole-genome
+        # tracks); byte-identity vs the default-mode panel is asserted
+        import shutil
+        have_default = os.path.exists("asm.boringbits.bed")
+        if have_default:
+            shutil.copyfile("asm.boringbits.bed", "asm.boringbits.ref.bed")
+            shutil.copyfile("asm.boringbits.txt", "asm.boringbits.ref.txt")
+        if os.path.isdir("tmp_create_cornetto"):
+            shutil.rmtree("tmp_create_cornetto")
+        wall, rss, stderr_txt = _run_footer(
+            cli + ["create-panel", "asm.fasta", "--backend=numpy",
+                   "--low-mem"], env=env)
+        import re as _re
+        breakdown = {m.group(1): {"wall_s": float(m.group(2)),
+                                  "peak_rss_so_far_gb": float(m.group(3))}
+                     for m in _re.finditer(
+                         r"panel-stage (\S+): ([0-9.]+) s "
+                         r"\(peak RSS so far ([0-9.]+) GB\)", stderr_txt)}
+        same = (have_default
+                and open("asm.boringbits.bed").read()
+                == open("asm.boringbits.ref.bed").read()
+                and open("asm.boringbits.txt").read()
+                == open("asm.boringbits.ref.txt").read())
+        log("create-panel --low-mem %.1fs peakRSS %s GB identical=%s"
+            % (wall, rss, same))
+        results["stages"]["create_panel_lowmem"] = {
+            "wall_s": round(wall, 1), "peak_rss_gb": rss,
+            "identical_to_default_mode": same, "breakdown": breakdown}
+        flush_json()
+        assert same or not have_default
 
     if want("telostats"):
         wall, rss, _ = _run_footer(cli + ["telostats", "asm.fasta"],

@@ -122,3 +122,50 @@ def test_scan_and_iter_window_invariance(tmp_path):
     assert names == ["aa", "bb", "cc"]
     assert tot == (1300 - 6) + 11
     assert all(v > 65535 for _ci, _pos, v in truncs)
+
+
+def test_oversized_row_grows_buffer(tmp_path):
+    # a row longer than window + the 64 KB slack must grow the read
+    # buffer, not raise BufferError on the live np.frombuffer export
+    # (advisor round-4 finding: bytearray.extend with an export alive)
+    from cornetto_tpu.io import bed
+    name = "ctg" + "x" * 200_000
+    rows = "".join("%s\t%d\t%d\t%d\n" % (name, i, i + 1, 7)
+                   for i in range(5))
+    p = tmp_path / "big.bg"
+    p.write_text(rows)
+    got = bed.scan_depth_track(str(p), window=64)
+    assert got is not None
+    names, lengths, _f, ssum, _tr, _tot = got
+    assert names == [name] and lengths == [5] and ssum == 35
+    (arr,) = list(bed.iter_depth_contigs(str(p), lengths, window=64))
+    np.testing.assert_array_equal(arr, np.full(5, 7, np.uint16))
+    # the in-memory windowed loader shares the same grow path
+    loaded = bed._load_depth_windows(open(p, "rb"),
+                                     size_hint=os.path.getsize(p),
+                                     window=64)
+    assert loaded is not None
+    ln, _lf, ldep, _lb, lsum, _ltr = loaded
+    assert ln == [name] and lsum == 35
+    np.testing.assert_array_equal(ldep, np.full(5, 7, np.uint16))
+
+
+def test_prefetch_propagates_worker_errors():
+    # a generator failing mid-stream must RAISE in the consumer, not end
+    # the iteration early (truncated output with exit 0 — advisor
+    # round-4 finding)
+    def bad():
+        yield 1
+        raise OSError("disk on fire")
+
+    it = boringbits._prefetch(bad())
+    assert next(it) == 1
+    with pytest.raises(OSError, match="disk on fire"):
+        list(it)
+
+    def bad_exit():
+        yield from ()
+        raise SystemExit(1)
+
+    with pytest.raises(SystemExit):
+        list(boringbits._prefetch(bad_exit()))
