@@ -32,14 +32,15 @@ class DecisionParams:
 
 def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
     """Local-shard lookup against the fingerprinted bucket table: exactly
-    ONE 32-byte row-gather per query — the TPU-friendly alternative to
-    binary search, whose ~20 dependent gather rounds dominate runtime.
+    ONE row-gather per query — the TPU-friendly alternative to binary
+    search, whose ~20 dependent gather rounds dominate runtime.
 
-    btable: (2^B, 8) int32 rows of [fp pairs | contig pairs | 4 positions]
-    (layout in livefish.index.MinimizerIndex; the uint16 fingerprint
-    comparison is exact because shard+bucket bits pin the rest of the key —
-    callers on a sharded mesh must therefore mask q_valid down to the
-    queries this shard OWNS, see _decide_from_minima).
+    btable: (2^B, 2K) int32 rows of [fp pairs | contig pairs | K
+    positions], K slots per bucket derived from the row width (layout in
+    livefish.index.MinimizerIndex; the uint16 fingerprint comparison is
+    exact because shard+bucket bits pin the rest of the key — callers on
+    a sharded mesh must therefore mask q_valid down to the queries this
+    shard OWNS, see _decide_from_minima).
 
     A unique index hash occupies one slot; a multi-occurrence (ambiguous,
     MAPQ<20-analog) hash occupies up to TWO slots holding its first two
@@ -64,11 +65,12 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
     import jax.numpy as jnp
     b, M = q_hash.shape
     n_buckets = btable.shape[0]
+    K = btable.shape[1] // 2                  # slots per bucket
     log2b = int(n_buckets).bit_length() - 1
     q = q_hash.ravel()
     bucket = ((q >> jnp.uint32(bucket_shift))
               & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
-    row = jnp.take(btable, bucket, axis=0)                    # (Q, 8)
+    row = jnp.take(btable, bucket, axis=0)                    # (Q, 2K)
     # fingerprint = the top bits above shard+bucket (always <= 16 of them)
     qfp = (q >> jnp.uint32(bucket_shift + log2b)).astype(jnp.int32)
     qv = q_valid.ravel()
@@ -77,17 +79,17 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
     pos1 = jnp.zeros_like(qfp)
     pos2 = jnp.zeros_like(qfp)
     has2 = jnp.zeros_like(qv)
-    for s in range(4):
+    for s in range(K):
         word = row[:, s // 2]
-        ctw = row[:, 2 + s // 2]
+        ctw = row[:, K // 2 + s // 2]
         fp = (word >> (16 * (s % 2))) & 0xFFFF
         ct = (ctw >> (16 * (s % 2))) & 0xFFFF
         m = (fp == qfp) & (ct != 0xFFFF)
         is2 = m & found          # second slot of an ambiguous hash
         is1 = m & ~found
         contig = jnp.where(is1, ct, contig)
-        pos1 = jnp.where(is1, row[:, 4 + s], pos1)
-        pos2 = jnp.where(is2, row[:, 4 + s], pos2)
+        pos1 = jnp.where(is1, row[:, K + s], pos1)
+        pos2 = jnp.where(is2, row[:, K + s], pos2)
         has2 = has2 | is2
         found = found | m
     found = found & qv
@@ -158,7 +160,7 @@ def decision_core(btable, reads, panel_mask,
                   bucket_shift: int, ep_axis: str = None, ep_size: int = 1):
     """Single-device (or per-shard, when ep_axis is set) decision step.
 
-    btable: (2^B, 8) int32 fingerprinted lookup rows (livefish.index).
+    btable: (2^B, 2K) int32 fingerprinted lookup rows (livefish.index).
     reads: (b, L) uint8 codes — with ep_axis set this is the device's OWN
     (dp, ep) slice; extraction runs once per read, not once per ep shard.
     Returns (decision (b,) int8 — 1 accept / 0 reject, best_contig (b,)

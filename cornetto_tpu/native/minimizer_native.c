@@ -164,25 +164,32 @@ void mz_bucket_hist(const uint32_t *h, int64_t n, int log2e, int B,
 
 typedef struct {
     int32_t *rows;
+    int K;                         /* slots per bucket; row = 2K words */
     int64_t n0, n1;
 } binit_t;
 
 static void *binit_worker(void *arg)
 {
     binit_t *t = (binit_t *)arg;
+    const int K = t->K;
     int64_t r;
+    int j;
     for (r = t->n0; r < t->n1; ++r) {
-        int32_t *row = t->rows + r * 8;
-        row[0] = row[1] = 0;
-        row[2] = row[3] = -1;      /* all four uint16 contig slots empty */
-        row[4] = row[5] = row[6] = row[7] = 0;
+        int32_t *row = t->rows + r * 2 * K;
+        for (j = 0; j < K / 2; ++j)
+            row[j] = 0;                    /* fingerprint halves */
+        for (j = K / 2; j < K; ++j)
+            row[j] = -1;                   /* uint16 contig slots empty */
+        for (j = K; j < 2 * K; ++j)
+            row[j] = 0;                    /* positions */
     }
     return 0;
 }
 
-/* Sequential-bandwidth btable init (the NumPy strided `[:, :, 2:4] = -1`
- * over a multi-GB table was a visible fraction of the build). */
-void mz_btable_init(int32_t *btable, int64_t nrows, int nthreads)
+/* Sequential-bandwidth btable init (the NumPy strided contig-word = -1
+ * over a multi-GB table was a visible fraction of the build).  K = slots
+ * per bucket (row layout below); nrows = total buckets across shards. */
+void mz_btable_init(int32_t *btable, int64_t nrows, int K, int nthreads)
 {
     enum { MAXT = 32 };
     binit_t th[MAXT];
@@ -192,6 +199,7 @@ void mz_btable_init(int32_t *btable, int64_t nrows, int nthreads)
     int t;
     for (t = 0; t < T; ++t) {
         th[t].rows = btable;
+        th[t].K = K;
         th[t].n0 = nrows * t / T;
         th[t].n1 = nrows * (t + 1) / T;
         pthread_create(&tid[t], 0, binit_worker, &th[t]);
@@ -203,13 +211,14 @@ void mz_btable_init(int32_t *btable, int64_t nrows, int nthreads)
 /* Single-pass bucket fill: entries arrive in ascending-hash order (the
  * dedup output), so slots within a bucket hold the lowest hashes first
  * and ambiguous first/second occurrences stay adjacent in slot order —
- * the invariants _lookup_votes relies on.  btable rows are 8 int32
- * (16 uint16 halves, little-endian):
- *   halves 0..3  = uint16 fingerprints (h >> (log2e + B))
- *   halves 4..7  = uint16 contig ids (0xFFFF = empty slot)
- *   words  4..7  = int32 positions (sign bit = ambiguous)
- * The caller pre-fills contig halves with 0xFFFF.  Returns the number of
- * entries dropped to bucket overflow (> K slots). */
+ * the invariants _lookup_votes relies on.  btable rows are 2K int32
+ * (4K uint16 halves, little-endian); K = slots per bucket (a power of
+ * two <= 16):
+ *   halves 0..K-1   = uint16 fingerprints (h >> (log2e + B))
+ *   halves K..2K-1  = uint16 contig ids (0xFFFF = empty slot)
+ *   words  K..2K-1  = int32 positions (sign bit = ambiguous)
+ * The caller pre-fills contig halves with 0xFFFF (mz_btable_init).
+ * Returns the number of entries dropped to bucket overflow (> K slots). */
 int64_t mz_bucket_fill(const uint32_t *h, const int32_t *c, const int32_t *p,
                        int64_t n, int log2e, int B, int K, int32_t *btable)
 {
@@ -222,17 +231,17 @@ int64_t mz_bucket_fill(const uint32_t *h, const int32_t *c, const int32_t *p,
         uint32_t x = h[i];
         uint64_t row = ((((uint64_t)(x & emask)) << B)
                         | ((x >> log2e) & bmask));
-        uint16_t *r16 = (uint16_t *)(btable + row * 8);
+        uint16_t *r16 = (uint16_t *)(btable + row * 2 * K);
         int s;
         for (s = 0; s < K; ++s)
-            if (r16[4 + s] == 0xFFFF) break;
+            if (r16[K + s] == 0xFFFF) break;
         if (s == K) {
             ++dropped;
             continue;
         }
         r16[s] = (uint16_t)(x >> fp_shift);
-        r16[4 + s] = (uint16_t)c[i];
-        ((int32_t *)r16)[4 + s] = p[i];
+        r16[K + s] = (uint16_t)c[i];
+        ((int32_t *)r16)[K + s] = p[i];
     }
     return dropped;
 }

@@ -147,16 +147,17 @@ def test_est_exact_on_chromosome_scale_positions():
     idx = build_index(genome, n_shards=1)
     bt = np.array(idx.btable[0])
     # relocate every stored position to chromosome scale (~240 Mb):
-    # pos words are rows [:, 4:8]; keep the ambiguity sign bit
+    # pos words are rows [:, K:2K]; keep the ambiguity sign bit
     OFF = 240_000_000
-    pw = bt[:, 4:8]
-    ct = np.stack([(bt[:, 2] & 0xFFFF), (bt[:, 2] >> 16) & 0xFFFF,
-                   (bt[:, 3] & 0xFFFF), (bt[:, 3] >> 16) & 0xFFFF], axis=1)
+    K = bt.shape[1] // 2
+    pw = bt[:, K:]
+    ct = np.stack([(bt[:, K // 2 + s // 2] >> (16 * (s % 2))) & 0xFFFF
+                   for s in range(K)], axis=1)
     used = ct != 0xFFFF
     amb = (pw < 0) & used
     base = np.where(used, (pw & 0x7FFFFFFF) + OFF, pw)
-    bt[:, 4:8] = np.where(amb, base | np.int32(-2**31),
-                          np.where(used, base, pw))
+    bt[:, K:] = np.where(amb, base | np.int32(-2**31),
+                         np.where(used, base, pw))
     n = int(idx.shard_counts[0])
     h = idx.hashes[0, :n]
     q = jnp.asarray(h[:64][None, :])          # one read of 64 real hashes
