@@ -25,6 +25,7 @@ def save_index(path: str, index: MinimizerIndex,
         "btable": index.btable,
         "bucket_shift": np.int64(index.bucket_shift),
         "bucket_slots": np.int64(index.bucket_slots),
+        "two_choice": np.bool_(getattr(index, "two_choice", False)),
         "contig_names": np.array(index.contig_names, dtype=object),
     }
     if index.hashes is not None:
@@ -57,7 +58,10 @@ def load_index(path: str):
         contig_lens=z["contig_lens"], k=int(z["k"]), w=int(z["w"]),
         btable=z["btable"],
         bucket_shift=int(z["bucket_shift"]),
-        bucket_slots=int(z["bucket_slots"]))
+        bucket_slots=int(z["bucket_slots"]),
+        # pre-round-5 checkpoints hold single-choice tables
+        two_choice=bool(z["two_choice"]) if "two_choice" in z.files
+        else False)
     panel = z["panel_mask"] if "panel_mask" in z.files else None
     tallies = {name[len("tally_"):]: z[name] for name in z.files
                if name.startswith("tally_")}

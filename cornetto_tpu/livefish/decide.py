@@ -30,10 +30,14 @@ class DecisionParams:
     bin_size: int = 1000
 
 
-def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
-    """Local-shard lookup against the fingerprinted bucket table: exactly
-    ONE row-gather per query — the TPU-friendly alternative to binary
-    search, whose ~20 dependent gather rounds dominate runtime.
+def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs,
+                  two_choice: bool = True):
+    """Local-shard lookup against the fingerprinted bucket table: one
+    32-byte row-gather per query (two independent ones under two_choice —
+    the index's high-occupancy placement, livefish.index) — the
+    TPU-friendly alternative to binary search, whose ~20 dependent gather
+    rounds dominate runtime.  `two_choice` must match how the index was
+    BUILT (MinimizerIndex.two_choice); the engines thread it through.
 
     btable: (2^B, 2K) int32 rows of [fp pairs | contig pairs | K
     positions], K slots per bucket derived from the row width (layout in
@@ -70,28 +74,41 @@ def _lookup_votes(btable, bucket_shift, q_hash, q_valid, n_contigs):
     q = q_hash.ravel()
     bucket = ((q >> jnp.uint32(bucket_shift))
               & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
-    row = jnp.take(btable, bucket, axis=0)                    # (Q, 2K)
-    # fingerprint = the top bits above shard+bucket (always <= 16 of them)
+    # fingerprint = the top bits above shard+bucket (always <= 16 of them;
+    # <= 15 under two_choice, where bit 15 of the stored half is the
+    # placement tag)
     qfp = (q >> jnp.uint32(bucket_shift + log2b)).astype(jnp.int32)
+    if two_choice:
+        # the alternate bucket + its tagged fingerprint: the two gathers
+        # are address-independent, so they pipeline (measured ~2x one
+        # probe, not the 6-7x of widening the row past 32 B)
+        g = ((qfp.astype(jnp.uint32) * jnp.uint32(0x9E3779B1))
+             >> jnp.uint32(32 - log2b)).astype(jnp.int32) \
+            & (n_buckets - 1)
+        probes = ((bucket, qfp), (bucket ^ g, qfp | (1 << 15)))
+    else:
+        probes = ((bucket, qfp),)
     qv = q_valid.ravel()
     found = jnp.zeros_like(qv)
     contig = jnp.zeros_like(qfp)
     pos1 = jnp.zeros_like(qfp)
     pos2 = jnp.zeros_like(qfp)
     has2 = jnp.zeros_like(qv)
-    for s in range(K):
-        word = row[:, s // 2]
-        ctw = row[:, K // 2 + s // 2]
-        fp = (word >> (16 * (s % 2))) & 0xFFFF
-        ct = (ctw >> (16 * (s % 2))) & 0xFFFF
-        m = (fp == qfp) & (ct != 0xFFFF)
-        is2 = m & found          # second slot of an ambiguous hash
-        is1 = m & ~found
-        contig = jnp.where(is1, ct, contig)
-        pos1 = jnp.where(is1, row[:, K + s], pos1)
-        pos2 = jnp.where(is2, row[:, K + s], pos2)
-        has2 = has2 | is2
-        found = found | m
+    for bk, want in probes:
+        row = jnp.take(btable, bk, axis=0)                    # (Q, 2K)
+        for s in range(K):
+            word = row[:, s // 2]
+            ctw = row[:, K // 2 + s // 2]
+            fp = (word >> (16 * (s % 2))) & 0xFFFF
+            ct = (ctw >> (16 * (s % 2))) & 0xFFFF
+            m = (fp == want) & (ct != 0xFFFF)
+            is2 = m & found & ~has2   # second slot of an ambiguous hash
+            is1 = m & ~found
+            contig = jnp.where(is1, ct, contig)
+            pos1 = jnp.where(is1, row[:, K + s], pos1)
+            pos2 = jnp.where(is2, row[:, K + s], pos2)
+            has2 = has2 | is2
+            found = found | m
     found = found & qv
     ambig = found & (pos1 < 0)
     p1 = jnp.where(found, pos1 & 0x7FFFFFFF, 0)
@@ -157,7 +174,8 @@ def _mean_split(hi, lo, n):
 
 def decision_core(btable, reads, panel_mask,
                   k: int, w: int, min_hits: int, bin_size: int,
-                  bucket_shift: int, ep_axis: str = None, ep_size: int = 1):
+                  bucket_shift: int, ep_axis: str = None, ep_size: int = 1,
+                  two_choice: bool = True):
     """Single-device (or per-shard, when ep_axis is set) decision step.
 
     btable: (2^B, 2K) int32 fingerprinted lookup rows (livefish.index).
@@ -171,7 +189,7 @@ def decision_core(btable, reads, panel_mask,
     pos, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
     return _decide_from_minima(btable, h, valid, panel_mask,
                                min_hits, bin_size, bucket_shift, ep_axis,
-                               ep_size)
+                               ep_size, two_choice)
 
 
 def decision_core_packed(btable, packed, nmask, panel_mask,
@@ -179,7 +197,8 @@ def decision_core_packed(btable, packed, nmask, panel_mask,
                          bin_size: int, bucket_shift: int,
                          ep_axis: str = None, ep_size: int = 1,
                          use_pallas: bool = True,
-                         interpret: bool = False, lengths=None):
+                         interpret: bool = False, lengths=None,
+                         two_choice: bool = True):
     """Decision step on 2-bit packed reads (~2.6x less host->device
     traffic; nmask=None for N-free batches — the ONT norm — drops the
     bitmap transfer too, optionally replaced by 4-byte per-read lengths).
@@ -211,12 +230,13 @@ def decision_core_packed(btable, packed, nmask, panel_mask,
         _, h, valid = read_minimizers_jax(reads, k=k, w=w, want_pos=False)
     return _decide_from_minima(btable, h, valid, panel_mask,
                                min_hits, bin_size, bucket_shift, ep_axis,
-                               ep_size)
+                               ep_size, two_choice)
 
 
 def _decide_from_minima(btable, h, valid, panel_mask, min_hits: int,
                         bin_size: int, bucket_shift: int,
-                        ep_axis: str = None, ep_size: int = 1):
+                        ep_axis: str = None, ep_size: int = 1,
+                        two_choice: bool = True):
     """Votes + decision from extracted minimizer hashes.
 
     With ep_axis set, this is the extract-once sharded protocol (SURVEY.md
@@ -237,7 +257,8 @@ def _decide_from_minima(btable, h, valid, panel_mask, min_hits: int,
         my = jax.lax.axis_index(ep_axis).astype(jnp.uint32)
         own = (h & jnp.uint32(ep_size - 1)) == my
         valid = valid & own
-    stats9 = _lookup_votes(btable, bucket_shift, h, valid, n_contigs)
+    stats9 = _lookup_votes(btable, bucket_shift, h, valid, n_contigs,
+                           two_choice)
     if ep_axis is not None:
         stats = jnp.concatenate(stats9, axis=1)
         stats = jax.lax.psum_scatter(stats, ep_axis, scatter_dimension=0,
@@ -333,7 +354,8 @@ class SingleChipEngine:
         self._fn = jax.jit(functools.partial(
             decision_core, k=index.k, w=index.w,
             min_hits=params.min_hits, bin_size=params.bin_size,
-            bucket_shift=index.bucket_shift))
+            bucket_shift=index.bucket_shift,
+            two_choice=getattr(index, "two_choice", False)))
         self._index = index
         self._params = params
 
@@ -358,7 +380,8 @@ class SingleChipEngine:
                 decision_core_packed, L=L, k=idx.k, w=idx.w,
                 min_hits=params.min_hits, bin_size=params.bin_size,
                 bucket_shift=idx.bucket_shift,
-                use_pallas=self._use_pallas))
+                use_pallas=self._use_pallas,
+                two_choice=getattr(idx, "two_choice", False)))
         kw = {}
         if lengths is not None:
             kw["lengths"] = jnp.asarray(lengths)
@@ -383,7 +406,8 @@ class SingleChipEngine:
                 decision_core_packed_fused, L=L, k=idx.k, w=idx.w,
                 min_hits=params.min_hits, bin_size=params.bin_size,
                 bucket_shift=idx.bucket_shift,
-                use_pallas=self._use_pallas))
+                use_pallas=self._use_pallas,
+                two_choice=getattr(idx, "two_choice", False)))
         kw = {}
         if lengths is not None:
             kw["lengths"] = jnp.asarray(lengths)
@@ -420,7 +444,9 @@ class SingleChipEngine:
                 chunk_tick_core, L=L, k=idx.k, w=idx.w,
                 min_hits=params.min_hits, bin_size=params.bin_size,
                 bucket_shift=idx.bucket_shift,
-                use_pallas=self._use_pallas), donate_argnums=(0,))
+                use_pallas=self._use_pallas,
+                two_choice=getattr(idx, "two_choice", False)),
+                donate_argnums=(0,))
         return cache[key](buf, self._btable, jnp.asarray(rows),
                           jnp.asarray(s_chans), jnp.asarray(s_slots),
                           jnp.asarray(d_chans), jnp.asarray(lengths),
@@ -479,7 +505,9 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
                              min_hits=params.min_hits,
                              bin_size=params.bin_size,
                              bucket_shift=index.bucket_shift,
-                             ep_axis="ep", ep_size=ep)
+                             ep_axis="ep", ep_size=ep,
+                             two_choice=getattr(index, "two_choice",
+                                                False))
 
     fn = shard_map(
         local_step, mesh=mesh,
@@ -513,7 +541,8 @@ def make_sharded_engine(mesh, index: MinimizerIndex, panel_mask: np.ndarray,
                 decision_core_packed, L=L, k=index.k, w=index.w,
                 min_hits=params.min_hits, bin_size=params.bin_size,
                 bucket_shift=index.bucket_shift, ep_axis="ep", ep_size=ep,
-                use_pallas=use_pallas)
+                use_pallas=use_pallas,
+                two_choice=getattr(index, "two_choice", False))
             if has_nm:
                 def local(bt, pk, nm, pn):
                     return core(bt[0], pk, nm, pn)

@@ -47,22 +47,29 @@ class MinimizerIndex:
     #   words K..2K-1    = int32 ref positions      (sign bit = ambiguous,
     #                                                i.e. multi-occurrence
     #                                                hash — MAPQ<20 analog)
-    # K=16 (128-byte rows, the default) fills buckets to 50-61%
-    # occupancy at the same 0.5% overflow bound the old K=4 layout met
-    # at ~27% (round-4 verdict item 4): the Poisson overflow past K
-    # slots at mean load K*occ thins rapidly with K — at 50% occupancy
-    # the dropped fraction is 3.8% (K=4) and 0.84% (K=8) but only 0.08%
-    # (K=16), so wide buckets hold the bound at twice the load and HALF
-    # the directory bytes per entry.  The lookup stays ONE row-gather
-    # (the hot cost is the random HBM access, not the row width).
-    # The uint16 fingerprint fp = h >> (log2(E) + B) is EXACT, not
-    # probabilistic: shard + bucket pin the low log2(E)+B hash bits, so
-    # only the top 32-log2(E)-B bits carry information; the build forces
-    # B >= 16-log2(E) so they fit in 16 bits.
+    # K stays 4 (32-byte rows): measured on v5e, the row-gather has a
+    # hard fast-path cliff past 32-byte rows (K=8 rows cost 6x, K=16 7x
+    # per query — bench_probe2/round-5 microbenches), so capacity comes
+    # from TWO-CHOICE placement instead of wider rows.  With two_choice,
+    # every entry may live in its home bucket b1 = (h >> log2E) & (2^B-1)
+    # or in b2 = b1 ^ g(fp), g(fp) = (fp * 0x9E3779B1) >> (32 - B);
+    # greedy filling (less-full bucket wins, tie -> home) holds overflow
+    # drops under 0.5% up to ~72% slot occupancy where single-choice
+    # needed <= 27% — about half the directory bytes at 3 Gbp (round-4
+    # verdict item 4) — at the cost of a second, independent (and thus
+    # pipelineable) 32-byte gather per lookup.
+    # The fingerprint fp = h >> (log2(E) + B) is EXACT, not
+    # probabilistic: shard + bucket (+ the placement tag in bit 15 of
+    # the stored half under two_choice: a b2-probe match implies
+    # b1(h') = b2(q) ^ g(fp) = b1(q)) pin the low hash bits, so only the
+    # top 32-log2(E)-B bits carry information; the build forces
+    # B >= 17-log2(E) (two_choice, 15-bit fp + tag) or B >= 16-log2(E)
+    # (legacy) so they fit the uint16 half.
     btable: np.ndarray = None     # (E, 2^B, 2K) int32
     bucket_shift: int = 0         # = log2(E)
-    bucket_slots: int = 16
+    bucket_slots: int = 4
     dropped_frac: float = 0.0     # overflow entries dropped at build
+    two_choice: bool = True       # tagged two-choice placement (above)
 
     @property
     def n_shards(self) -> int:
@@ -74,9 +81,10 @@ class MinimizerIndex:
 
 def build_index(contigs, n_shards: int = 1,
                 k: int = DEFAULT_K, w: int = DEFAULT_W,
-                repeat_cap: int = 256, bucket_slots: int = 16,
+                repeat_cap: int = 256, bucket_slots: int = 4,
                 keep_tables: bool = True,
-                max_overflow: float = 0.005) -> MinimizerIndex:
+                max_overflow: float = 0.005,
+                two_choice: bool = True) -> MinimizerIndex:
     """contigs: {name: sequence} dict OR an iterable of (name, sequence)
     pairs — pass a generator at whole-genome scale so each contig string
     is freed after extraction.  n_shards must be a power of two.
@@ -91,12 +99,17 @@ def build_index(contigs, n_shards: int = 1,
     first (round-3 EVAL_ALIGNERFREE failure: the repeat SOURCE copy drew
     2x coverage and was wrongly rejected).  Hashes occurring more than
     `repeat_cap` times are dropped entirely (repeat masking).  A per-shard
-    bucket directory bounds device lookups to one 32-byte row-gather
+    bucket directory bounds device lookups to 32-byte row-gathers
     holding `bucket_slots` fingerprinted entries; the directory width
     grows until bucket-overflow drops stay below `max_overflow` (0.5%:
     dropped hashes are uniform-random extra repeat masking — reads carry
     ~45 minimizers, so the sensitivity cost is noise — while each extra
-    width doubling doubles the multi-GB table).
+    width doubling doubles the multi-GB table).  With `two_choice`
+    (default) entries place greedily into the emptier of two candidate
+    buckets (see the MinimizerIndex layout comment), which meets the
+    overflow bound at ~2x the occupancy — half the table bytes — for
+    one extra independent gather at lookup; callers of the raw
+    decision_core functions must pass the index's two_choice flag.
 
     Extraction, dedup and the bucket fill run in C when a compiler is
     available (native/minimizer_native.c — the NumPy twins below are the
@@ -187,52 +200,71 @@ def build_index(contigs, n_shards: int = 1,
 
     if lib is not None:
         btable, bshift, dropped = _build_buckets_native(
-            lib, h, c, p, counts, log2e, bucket_slots, max_overflow)
+            lib, h, c, p, counts, log2e, bucket_slots, max_overflow,
+            two_choice)
     else:
         btable, bshift, dropped = _build_buckets(
-            H, C, P, counts, log2e, bucket_slots, max_overflow)
+            H, C, P, counts, log2e, bucket_slots, max_overflow,
+            two_choice)
     return MinimizerIndex(H, C, P, counts, names, lens, k, w,
                           btable=btable, bucket_shift=bshift,
-                          bucket_slots=bucket_slots, dropped_frac=dropped)
+                          bucket_slots=bucket_slots, dropped_frac=dropped,
+                          two_choice=two_choice)
 
 
-def _bucket_B0(counts: np.ndarray, log2e: int, K: int) -> int:
+def _bucket_B0(counts: np.ndarray, log2e: int, K: int,
+               two_choice: bool = True) -> int:
     """Initial bucket-directory width: same formula both build paths use,
     so native and NumPy builds pick identical B (and identical tables).
     Starts at ~100% nominal occupancy (mean load K per bucket) — the
     overflow-bound loop then grows B to the SMALLEST directory meeting
     max_overflow, rather than anchoring at 50% occupancy and only ever
-    growing (which left wide-bucket tables needlessly half-empty)."""
+    growing (which left tables needlessly half-empty).  two_choice needs
+    a 15-bit fingerprint + placement tag, hence the higher 17-log2e
+    floor."""
     max_n = max(int(counts.max()) if len(counts) else 1, 1)
     B = max(int(np.ceil(np.log2(max(max_n // max(K, 1), 2)))), 3,
-            16 - log2e)
+            (17 if two_choice else 16) - log2e)
     # cap so fp_shift = log2e + B stays < 32 (a 32-bit shift is undefined)
     return min(B, 28, 31 - log2e)
 
 
 def _build_buckets_native(lib, h, c, p, counts, log2e: int, K: int,
-                          max_overflow: float = 0.005):
-    """C single-pass bucket fill (native/minimizer_native.c): a histogram
-    pass picks the smallest directory width B >= the initial estimate
-    meeting the overflow bound (no trial tables), then one ascending-hash
-    pass writes btable rows directly — no fps/cts/pos temporaries and no
-    per-shard argsort (round 3: 133 s / 12.3 GB at 50M entries; this path
-    is ~3 s / table-sized)."""
+                          max_overflow: float = 0.005,
+                          two_choice: bool = True):
+    """C single-pass bucket fill (native/minimizer_native.c): a cheap
+    counting pass per trial width picks the smallest directory B >= the
+    initial estimate meeting the overflow bound (no trial tables), then
+    one ascending-hash pass writes btable rows directly — no fps/cts/pos
+    temporaries and no per-shard argsort (round 3: 133 s / 12.3 GB at
+    50M entries; this path is ~3 s / table-sized).  With two_choice the
+    counting pass replays the exact greedy placement decisions
+    (mz_bucket_count2) instead of a plain histogram."""
     import ctypes
     pv = ctypes.c_void_p
     lib.mz_bucket_fill.restype = ctypes.c_int64
+    lib.mz_bucket_fill2.restype = ctypes.c_int64
+    lib.mz_bucket_count2.restype = ctypes.c_int64
     n = len(h)
     total = int(counts.sum())
-    B = _bucket_B0(counts, log2e, K)
+    B = _bucket_B0(counts, log2e, K, two_choice)
     Bmax = min(28, 31 - log2e)
     n_shards = len(counts)
     while True:
-        hist = np.zeros(n_shards << B, dtype=np.int32)
-        if n:
-            lib.mz_bucket_hist(pv(h.ctypes.data), ctypes.c_int64(n),
-                               ctypes.c_int(log2e), ctypes.c_int(B),
-                               pv(hist.ctypes.data))
-        dropped = int(np.maximum(hist - K, 0).sum(dtype=np.int64))
+        if two_choice:
+            cnt = np.zeros(n_shards << B, dtype=np.uint8)
+            dropped = int(lib.mz_bucket_count2(
+                pv(h.ctypes.data), ctypes.c_int64(n), ctypes.c_int(log2e),
+                ctypes.c_int(B), ctypes.c_int(K),
+                pv(cnt.ctypes.data))) if n else 0
+            del cnt
+        else:
+            hist = np.zeros(n_shards << B, dtype=np.int32)
+            if n:
+                lib.mz_bucket_hist(pv(h.ctypes.data), ctypes.c_int64(n),
+                                   ctypes.c_int(log2e), ctypes.c_int(B),
+                                   pv(hist.ctypes.data))
+            dropped = int(np.maximum(hist - K, 0).sum(dtype=np.int64))
         frac = dropped / total if total else 0.0
         if frac <= max_overflow or B >= Bmax:
             break
@@ -243,7 +275,8 @@ def _build_buckets_native(lib, h, c, p, counts, log2e: int, K: int,
                        ctypes.c_int(min(__import__("os").cpu_count() or 1,
                                         16)))
     if n:
-        got = lib.mz_bucket_fill(
+        fill = lib.mz_bucket_fill2 if two_choice else lib.mz_bucket_fill
+        got = fill(
             pv(h.ctypes.data), pv(c.ctypes.data), pv(p.ctypes.data),
             ctypes.c_int64(n), ctypes.c_int(log2e), ctypes.c_int(B),
             ctypes.c_int(K), pv(btable.ctypes.data))
@@ -251,26 +284,68 @@ def _build_buckets_native(lib, h, c, p, counts, log2e: int, K: int,
     return btable, log2e, frac
 
 
+def _fill_two_choice_np(h, c, p, fps, cts, pos, log2e: int, B: int,
+                        K: int) -> int:
+    """Sequential NumPy/Python twin of mz_bucket_fill2 (exact same greedy
+    decisions, validated bit-for-bit by tests): entries in ascending-hash
+    order place into the emptier of (b1, b1 ^ g(fp)); the second
+    occurrence of an ambiguous pair follows its pair's bucket.  Fine at
+    test scale; whole-genome builds use the C kernel."""
+    mask = (1 << B) - 1
+    fp_shift = log2e + B
+    fill = np.zeros(fps.shape[0], np.int32)
+    dropped = 0
+    prev_b = -1
+    prev_h = None
+    for i in range(len(h)):
+        x = int(h[i])
+        b1 = (x >> log2e) & mask
+        fp = x >> fp_shift
+        b2 = b1 ^ (((fp * 0x9E3779B1) & 0xFFFFFFFF) >> (32 - B))
+        if prev_h == x:
+            # second of an ambiguous pair: follow the first
+            if prev_b >= 0 and fill[prev_b] < K:
+                t = prev_b
+            else:
+                t = b2 if prev_b == b1 else b1
+                if prev_b < 0 or fill[t] >= K:
+                    t = -1
+        elif fill[b1] <= fill[b2]:
+            t = b1 if fill[b1] < K else (b2 if fill[b2] < K else -1)
+        else:
+            t = b2 if fill[b2] < K else (b1 if fill[b1] < K else -1)
+        if t < 0:
+            dropped += 1
+            prev_b = -1
+        else:
+            s = fill[t]
+            fps[t, s] = fp | (0x8000 if (t == b2 and b2 != b1) else 0)
+            cts[t, s] = int(c[i]) & 0xFFFF
+            pos[t, s] = p[i]
+            fill[t] += 1
+            prev_b = t
+        prev_h = x
+    return dropped
+
+
 def _build_buckets(H: np.ndarray, C: np.ndarray, P: np.ndarray,
                    counts: np.ndarray, log2e: int, K: int,
-                   max_overflow: float = 0.005):
+                   max_overflow: float = 0.005, two_choice: bool = True):
     """Pack each shard's (sorted, unique) hash table into the (2^B, 2K)
     int32 fingerprinted row layout (see MinimizerIndex).  Bucket id = hash
     bits [log2E, log2E+B) — low bits, uniform under the window-min value
     skew; fingerprint = the remaining TOP bits, h >> (log2E + B).  B grows
     until bucket overflow (entries beyond K slots, dropped — extra repeat
-    masking) is below `max_overflow`; B is floored at 16 - log2(E) so the
-    fingerprint fits uint16 exactly."""
+    masking) is below `max_overflow`; B is floored so the fingerprint
+    (plus the two_choice placement tag) fits the uint16 half."""
     assert K in (4, 8, 16), "row layout packs uint16 pairs"
     n_shards = H.shape[0]
-    max_n = max(int(counts.max()) if len(counts) else 1, 1)
-    B = max(int(np.ceil(np.log2(max(max_n // max(K // 2, 1), 2)))), 3,
-            16 - log2e)
-    # cap so fp_shift = log2e + B stays < 32 (a 32-bit shift is undefined)
-    B = min(B, 28, 31 - log2e)
+    B = _bucket_B0(counts, log2e, K, two_choice)
+    Bmax = min(28, 31 - log2e)
     while True:
         fp_shift = log2e + B
-        assert 32 - fp_shift <= 16, (fp_shift, B, log2e)
+        assert 32 - fp_shift <= (15 if two_choice else 16), \
+            (fp_shift, B, log2e)
         n_buckets = 1 << B
         fps = np.zeros((n_shards, n_buckets, K), dtype=np.uint32)
         cts = np.full((n_shards, n_buckets, K), 0xFFFF, dtype=np.uint32)
@@ -282,6 +357,12 @@ def _build_buckets(H: np.ndarray, C: np.ndarray, P: np.ndarray,
             if n == 0:
                 continue
             h = H[s, :n]
+            if two_choice:
+                dropped += _fill_two_choice_np(
+                    h, C[s, :n], P[s, :n], fps[s], cts[s], pos[s],
+                    log2e, B, K)
+                total += n
+                continue
             buckets = ((h >> np.uint32(log2e))
                        & np.uint32(n_buckets - 1)).astype(np.int64)
             # buckets are low bits: not monotone in sorted h — order by
@@ -300,7 +381,7 @@ def _build_buckets(H: np.ndarray, C: np.ndarray, P: np.ndarray,
             dropped += int(n - keep.sum())
             total += n
         frac = dropped / total if total else 0.0
-        if frac <= max_overflow or B >= min(28, 31 - log2e):
+        if frac <= max_overflow or B >= Bmax:
             btable = np.empty((n_shards, n_buckets, 2 * K), dtype=np.int32)
             for j in range(K // 2):
                 btable[:, :, j] = (

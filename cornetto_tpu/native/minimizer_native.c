@@ -245,3 +245,139 @@ int64_t mz_bucket_fill(const uint32_t *h, const int32_t *c, const int32_t *p,
     }
     return dropped;
 }
+
+/* ---- two-choice placement (round-5 table shrink) --------------------
+ *
+ * Every entry has a HOME bucket b1 = (h >> log2e) & (2^B - 1) and an
+ * ALTERNATE b2 = b1 ^ g(fp), g(fp) = (fp * 0x9E3779B1) >> (32 - B):
+ * greedy two-choice filling (the less-full bucket wins, tie -> home)
+ * keeps overflow drops under 0.5% up to ~72% slot occupancy where
+ * single-choice needed <=27% — halving the directory bytes at the cost
+ * of a second (independent, pipelineable) 32-byte row-gather at lookup.
+ * The stored fingerprint carries a placement tag in bit 15
+ * (fp | displaced<<15, so fp itself must fit 15 bits: B >= 17 - log2e);
+ * tag + bucket + fp still pin the full hash, so lookups stay EXACT:
+ * a b2-probe match implies b1(h') = b2(q) ^ g(fp) = b1(q), hence
+ * h' == q.
+ *
+ * Pair rule (the two stored occurrences of an ambiguous hash, adjacent
+ * in the input): the second occurrence follows its pair's bucket when
+ * free, else tries the other, else is dropped (the lookup falls back to
+ * pos2 = pos1).  Because a first occurrence only lands in b2 when b2 was
+ * strictly emptier than b1, the second can never land in b1 afterwards —
+ * so the probe scan order (b1 slots, then b2 slots) always sees the
+ * first occurrence first, preserving the slot-order invariant
+ * _lookup_votes relies on. */
+
+static inline uint32_t tc_alt(uint32_t b1, uint32_t fp, int B)
+{
+    return b1 ^ ((fp * 0x9E3779B1u) >> (32 - B));
+}
+
+/* Count-only twin of mz_bucket_fill2: identical placement decisions via
+ * per-bucket counters (cnt, caller-zeroed, n_shards << B bytes), so the
+ * directory width B can be chosen without materializing trial tables.
+ * Returns the dropped count. */
+int64_t mz_bucket_count2(const uint32_t *h, int64_t n, int log2e, int B,
+                         int K, uint8_t *cnt)
+{
+    uint32_t emask = (1u << log2e) - 1;
+    uint32_t bmask = (1u << B) - 1;
+    int fp_shift = log2e + B;
+    int64_t dropped = 0;
+    int64_t i;
+    int64_t prev_row = -1;
+    uint32_t prev_h = 0;
+    for (i = 0; i < n; ++i) {
+        uint32_t x = h[i];
+        uint64_t shard = ((uint64_t)(x & emask)) << B;
+        uint32_t b1 = (x >> log2e) & bmask;
+        uint32_t fp = x >> fp_shift;
+        uint32_t b2 = tc_alt(b1, fp, B) & bmask;
+        int64_t r1 = shard | b1, r2 = shard | b2;
+        int64_t t;
+        if (i > 0 && x == prev_h) {
+            /* second of an ambiguous pair: follow the first */
+            t = (prev_row >= 0 && cnt[prev_row] < K) ? prev_row
+                : ((prev_row == r1 ? r2 : r1));
+            if (t < 0 || cnt[t] >= K) t = -1;
+            if (prev_row < 0) t = -1;
+        } else {
+            t = (cnt[r1] <= cnt[r2]) ? (cnt[r1] < K ? r1
+                                        : (cnt[r2] < K ? r2 : -1))
+                : (cnt[r2] < K ? r2 : (cnt[r1] < K ? r1 : -1));
+        }
+        if (t < 0) {
+            ++dropped;
+            prev_row = -1;
+        } else {
+            cnt[t] += 1;
+            prev_row = t;
+        }
+        prev_h = x;
+    }
+    return dropped;
+}
+
+/* Two-choice bucket fill; same decisions as mz_bucket_count2 (shared
+ * rule, counters derived from the table itself).  Caller pre-inits the
+ * table with mz_btable_init.  Returns the dropped count. */
+int64_t mz_bucket_fill2(const uint32_t *h, const int32_t *c,
+                        const int32_t *p, int64_t n, int log2e, int B,
+                        int K, int32_t *btable)
+{
+    uint32_t emask = (1u << log2e) - 1;
+    uint32_t bmask = (1u << B) - 1;
+    int fp_shift = log2e + B;
+    int64_t dropped = 0;
+    int64_t i;
+    int64_t prev_row = -1;
+    uint32_t prev_h = 0;
+    for (i = 0; i < n; ++i) {
+        uint32_t x = h[i];
+        uint64_t shard = ((uint64_t)(x & emask)) << B;
+        uint32_t b1 = (x >> log2e) & bmask;
+        uint32_t fp = x >> fp_shift;
+        uint32_t b2 = tc_alt(b1, fp, B) & bmask;
+        int64_t r1 = shard | b1, r2 = shard | b2;
+        uint16_t *q1 = (uint16_t *)(btable + r1 * 2 * K);
+        uint16_t *q2 = (uint16_t *)(btable + r2 * 2 * K);
+        int f1 = 0, f2 = 0, s;
+        for (s = 0; s < K; ++s) {
+            f1 += q1[K + s] == 0xFFFF;
+            f2 += q2[K + s] == 0xFFFF;
+        }
+        int64_t t;
+        int free_t;
+        if (i > 0 && x == prev_h) {
+            t = prev_row;
+            free_t = (t == r1) ? f1 : f2;
+            if (t < 0 || free_t == 0) {
+                t = (prev_row == r1) ? r2 : r1;
+                free_t = (t == r1) ? f1 : f2;
+                if (prev_row < 0 || free_t == 0) t = -1;
+            }
+        } else {
+            int c1 = K - f1, c2 = K - f2;
+            if (c1 <= c2)
+                t = f1 ? r1 : (f2 ? r2 : -1);
+            else
+                t = f2 ? r2 : (f1 ? r1 : -1);
+        }
+        if (t < 0) {
+            ++dropped;
+            prev_row = -1;
+        } else {
+            uint16_t *rt = (uint16_t *)(btable + t * 2 * K);
+            for (s = 0; s < K; ++s)
+                if (rt[K + s] == 0xFFFF) break;
+            rt[s] = (uint16_t)(fp | ((t == r2 && r2 != r1) ? 0x8000u
+                                     : 0u));
+            rt[K + s] = (uint16_t)c[i];
+            ((int32_t *)rt)[K + s] = p[i];
+            prev_row = t;
+        }
+        prev_h = x;
+    }
+    return dropped;
+}

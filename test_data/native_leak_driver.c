@@ -43,9 +43,13 @@ void mz_extract(const uint8_t *, int64_t, int, int, int, uint32_t *,
 int64_t mz_dedup(const uint32_t *, const int32_t *, const int32_t *,
                  int64_t, int64_t, uint32_t *, int32_t *, int32_t *);
 void mz_bucket_hist(const uint32_t *, int64_t, int, int, int32_t *);
+int64_t mz_bucket_count2(const uint32_t *, int64_t, int, int, int,
+                         uint8_t *);
+int64_t mz_bucket_fill2(const uint32_t *, const int32_t *, const int32_t *,
+                        int64_t, int, int, int, int32_t *);
 int64_t mz_bucket_fill(const uint32_t *, const int32_t *, const int32_t *,
                        int64_t, int, int, int, int32_t *);
-void mz_btable_init(int32_t *, int64_t, int);
+void mz_btable_init(int32_t *, int64_t, int, int);
 
 #define CHECK(cond) do { if (!(cond)) { \
     fprintf(stderr, "FAIL %s:%d: %s\n", __FILE__, __LINE__, #cond); \
@@ -237,11 +241,18 @@ static int drive_minimizer(void)
     for (i = 0; i < (1 << B); ++i) tot += hist[i];
     CHECK(tot == m);
     int32_t *bt = malloc(((size_t)1 << B) * 8 * sizeof(int32_t));
-    mz_btable_init(bt, (int64_t)1 << B, 2);
+    mz_btable_init(bt, (int64_t)1 << B, 4, 2);
     int64_t dropped = mz_bucket_fill(h2, c2, p2, m, 0, B, 4, bt);
     CHECK(dropped >= 0);
+    /* two-choice placement pair (round 5): count pass + tagged fill must
+     * agree on the drop total */
+    uint8_t *cnt = calloc((size_t)1 << B, 1);
+    int64_t d2c = mz_bucket_count2(h2, m, 0, B, 4, cnt);
+    mz_btable_init(bt, (int64_t)1 << B, 4, 2);
+    int64_t d2f = mz_bucket_fill2(h2, c2, p2, m, 0, B, 4, bt);
+    CHECK(d2c == d2f && d2f <= dropped);
     free(codes); free(h); free(pos); free(c);
-    free(h2); free(c2); free(p2); free(hist); free(bt);
+    free(h2); free(c2); free(p2); free(hist); free(bt); free(cnt);
     return 0;
 }
 

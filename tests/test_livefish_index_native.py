@@ -56,13 +56,14 @@ def _build_both(genome, n_shards, **kw):
 
 
 @pytest.mark.parametrize("n_shards", [1, 2, 4])
-def test_build_index_native_equals_numpy(n_shards):
+@pytest.mark.parametrize("two_choice", [True, False])
+def test_build_index_native_equals_numpy(n_shards, two_choice):
     rng = np.random.default_rng(7)
     g1 = np.array(list("ACGT"))[rng.integers(0, 4, 60_000)]
     g1[40_000:45_000] = g1[5_000:10_000]    # exact repeat -> ambiguity
     genome = {"c1": "".join(g1),
               "c2": _rand_seq(np.random.default_rng(8), 30_000, True)}
-    idx_c, idx_np = _build_both(genome, n_shards)
+    idx_c, idx_np = _build_both(genome, n_shards, two_choice=two_choice)
     assert idx_c.bucket_shift == idx_np.bucket_shift
     assert idx_c.btable.shape == idx_np.btable.shape
     np.testing.assert_array_equal(idx_c.btable, idx_np.btable)
