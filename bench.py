@@ -44,9 +44,11 @@ freed-pending), takes best-of-3 slopes, and records a host-load sentinel
                                  ceiling holds in every emitted artifact
                                  by measurement, not by fiat
   spin_ms                      — wall time of a fixed pure-Python spin
-                                 (~30 ms quiet on this box); a big value
-                                 means the host was contended and the
-                                 e2e number is untrustworthy
+                                 (70-150 ms quiet on this box, the
+                                 spread is CPU clock scaling); values
+                                 well beyond that mean the host was
+                                 contended and the e2e number is
+                                 untrustworthy
 """
 
 import json
@@ -115,9 +117,9 @@ def main() -> int:
     # tunnel block_until_ready alone does not actually synchronise)
     np.asarray(eng.decide_packed_fused(packed, None, read_len))
 
-    # host-load sentinel: a fixed pure-Python spin (~30 ms on this box
-    # when quiet).  The round-4 headline dip was concurrent host load
-    # (see module docstring); this pins whether THIS run was clean.
+    # host-load sentinel: a fixed pure-Python spin (70-150 ms on this
+    # box when quiet).  The round-4 headline dip was concurrent host
+    # load (see module docstring); this pins whether THIS run was clean.
     t0 = time.perf_counter()
     s = 0
     for i in range(2_000_000):
@@ -233,8 +235,8 @@ def main() -> int:
         "note": "value tracks the axon tunnel's upload bandwidth "
                 "(113 B/read is the 2-bit entropy floor); production-"
                 "shaped pipeline (fused decide + drain-thread "
-                "readbacks), best-of-3 slopes; spin_ms ~30 on a quiet "
-                "host — see bench.py docstring + ROADMAP.md",
+                "readbacks), best-of-3 slopes; spin_ms 70-150 on a "
+                "quiet host — see bench.py docstring + ROADMAP.md",
     }
     print(json.dumps(result))
     return 0
