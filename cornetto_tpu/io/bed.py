@@ -433,6 +433,13 @@ def iter_depth_contigs(path: str, lengths, window: int = 64 << 20):
 
 
 def _gz_reader(path: str):
+    """Decompressing reader for a coverage track: BGZF tracks (bgzip'd —
+    concatenated independent gzip members) inflate block-parallel across
+    threads (io.bgzf.BgzfStreamReader); plain gzip is inherently a
+    single serial stream."""
+    from cornetto_tpu.io.bgzf import BgzfStreamReader, is_bgzf
+    if is_bgzf(path):
+        return BgzfStreamReader(path)
     import gzip
     return gzip.GzipFile(fileobj=open(path, "rb"))
 
@@ -609,10 +616,16 @@ def _load_depth_windows(fp, size_hint: int = 0, window: int = 64 << 20,
 
 
 def _load_depth_streaming_gz(path: str, window: int = 64 << 20):
-    """Gzip entry to _load_depth_windows (kept callable with a small
+    """Gzip/BGZF entry to _load_depth_windows (kept callable with a small
     `window` so tests can exercise the cross-window stitching).  The raw
-    file handle's tell() lets the loader project total rows from
-    compressed progress, avoiding doubling-growth over-allocation."""
+    handle's compressed-progress tell() lets the loader project total
+    rows, avoiding doubling-growth over-allocation.  BGZF tracks inflate
+    block-parallel (io.bgzf.BgzfStreamReader)."""
+    from cornetto_tpu.io.bgzf import BgzfStreamReader, is_bgzf
+    if is_bgzf(path):
+        rd = BgzfStreamReader(path)
+        return _load_depth_windows(rd, size_hint=os.path.getsize(path),
+                                   window=window, raw_tell=rd.raw_tell)
     import gzip
     with open(path, "rb") as raw:
         gz = gzip.GzipFile(fileobj=raw)

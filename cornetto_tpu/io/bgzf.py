@@ -125,6 +125,103 @@ class BgzfFile:
         return data[ub:stop]
 
 
+def is_bgzf(path: str) -> bool:
+    """True when `path` starts with a BGZF member (gzip magic + FEXTRA
+    carrying the BC/BSIZE subfield).  Plain gzip lacks FEXTRA, so this
+    cleanly splits the two single-file cases."""
+    with open(path, "rb") as f:
+        head = f.read(18)
+    if len(head) < 18 or head[:2] != b"\x1f\x8b" or not head[3] & 4:
+        return False
+    (xlen,) = struct.unpack_from("<H", head, 10)
+    xoff, xend = 12, min(12 + xlen, len(head))
+    while xoff + 4 <= xend:
+        si1, si2, slen = head[xoff], head[xoff + 1], \
+            struct.unpack_from("<H", head, xoff + 2)[0]
+        if si1 == 66 and si2 == 67 and slen == 2:
+            return True
+        xoff += 4 + slen
+    return False
+
+
+class BgzfStreamReader:
+    """Sequential file-like reader over a BGZF file with BLOCK-PARALLEL
+    inflate: a sliding window of blocks decompresses on a thread pool
+    (zlib releases the GIL) ahead of the consumer.  This is what lets a
+    bgzip'd coverage track beat single-stream gzip on multi-core hosts —
+    the gzip FORMAT serializes inflate per stream; BGZF's independent
+    <=64 KiB members don't (the same property the BAM reader exploits;
+    reference analog: the bigwig/compressed tracks of
+    shitflow/create-launch.pbs.sh).
+
+    Supports readinto(memoryview) + close + context manager — the shape
+    cornetto_tpu.io.bed's windowed loaders consume.  raw_tell() reports
+    COMPRESSED bytes consumed, mirroring a raw file handle's tell() under
+    gzip.GzipFile so size projections keep working."""
+
+    def __init__(self, path: str, nthreads: int = None, prefetch: int = None):
+        import os
+        self._bg = BgzfFile(path, nthreads)
+        n = nthreads or min(os.cpu_count() or 1, 8)
+        self._ex = ThreadPoolExecutor(max_workers=n)
+        self._depth = prefetch or 4 * n
+        self._futs: List = []          # in-flight block futures, in order
+        self._next = 0                 # next block index to submit
+        self._cur = memoryview(b"")
+        self._done_blocks = 0
+        self._closed = False
+
+    def _pump(self) -> None:
+        while (len(self._futs) < self._depth
+               and self._next < self._bg.n_blocks):
+            self._futs.append(
+                self._ex.submit(self._bg._inflate_one, self._next))
+            self._next += 1
+
+    def readinto(self, mv) -> int:
+        mv = memoryview(mv)
+        want = len(mv)
+        got = 0
+        while got < want:
+            if not len(self._cur):
+                self._pump()
+                if not self._futs:
+                    break
+                self._cur = memoryview(self._futs.pop(0).result())
+                self._done_blocks += 1
+            n = min(want - got, len(self._cur))
+            mv[got:got + n] = self._cur[:n]
+            self._cur = self._cur[n:]
+            got += n
+        return got
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            n = int(self._bg.ucum[-1])
+        buf = bytearray(n)
+        got = self.readinto(memoryview(buf))
+        return bytes(buf[:got])
+
+    def raw_tell(self) -> int:
+        i = min(self._done_blocks, self._bg.n_blocks - 1)
+        if self._done_blocks >= self._bg.n_blocks:
+            return int(self._bg.coffs[-1] + self._bg.csizes[-1])
+        return int(self._bg.coffs[i])
+
+    def close(self) -> None:
+        if not self._closed:
+            self._closed = True
+            self._futs.clear()
+            self._ex.shutdown(wait=False, cancel_futures=True)
+            self._bg._raw.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 # ---------------------------------------------------------------------------
 # BGZF writer
 # ---------------------------------------------------------------------------
