@@ -239,6 +239,16 @@ def main() -> int:
                 "quiet host — see bench.py docstring + ROADMAP.md",
     }
     print(json.dumps(result))
+    # checked-in copy so README/ROADMAP prose can be GENERATED from the
+    # artifact (gen_perf_table.py) instead of hand-synced — three rounds
+    # of manual number drift is enough evidence prose won't stay synced
+    # by discipline
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_HEADLINE.json"), "w") as f:
+            json.dump(result, f, indent=1)
+    except OSError:
+        pass
     return 0
 
 

@@ -154,6 +154,12 @@ class BgzfStreamReader:
     reference analog: the bigwig/compressed tracks of
     shitflow/create-launch.pbs.sh).
 
+    Streams through a plain buffered file handle — deliberately NOT the
+    mmap-backed BgzfFile: resident pages of a whole-genome-sized mapping
+    count toward peak RSS (a 16 GB track measured 42 GB peak through the
+    mmap; the same lesson as the round-3 plain-text loader).  Peak here
+    is the prefetch window only.
+
     Supports readinto(memoryview) + close + context manager — the shape
     cornetto_tpu.io.bed's windowed loaders consume.  raw_tell() reports
     COMPRESSED bytes consumed, mirroring a raw file handle's tell() under
@@ -161,22 +167,51 @@ class BgzfStreamReader:
 
     def __init__(self, path: str, nthreads: int = None, prefetch: int = None):
         import os
-        self._bg = BgzfFile(path, nthreads)
+        self._f = open(path, "rb")
         n = nthreads or min(os.cpu_count() or 1, 8)
         self._ex = ThreadPoolExecutor(max_workers=n)
         self._depth = prefetch or 4 * n
-        self._futs: List = []          # in-flight block futures, in order
-        self._next = 0                 # next block index to submit
+        self._futs: List = []     # (future, csize) in-flight, in order
+        self._eof = False
         self._cur = memoryview(b"")
-        self._done_blocks = 0
+        self._consumed_coff = 0
         self._closed = False
 
+    def _next_block(self):
+        """Read one compressed member off the file; None at EOF."""
+        hdr = self._f.read(12)
+        if len(hdr) < 12:
+            self._eof = True
+            if hdr:
+                raise ValueError("truncated BGZF header")
+            return None
+        if hdr[:2] != b"\x1f\x8b" or not hdr[3] & 4:
+            raise ValueError("bad BGZF member header")
+        (xlen,) = struct.unpack_from("<H", hdr, 10)
+        extra = self._f.read(xlen)
+        bsize = None
+        xoff = 0
+        while xoff + 4 <= xlen:
+            si1, si2, slen = extra[xoff], extra[xoff + 1], \
+                struct.unpack_from("<H", extra, xoff + 2)[0]
+            if si1 == 66 and si2 == 67 and slen == 2:
+                bsize = struct.unpack_from("<H", extra, xoff + 4)[0] + 1
+                break
+            xoff += 4 + slen
+        if bsize is None:
+            raise ValueError("no BSIZE subfield in BGZF member")
+        rest = self._f.read(bsize - 12 - xlen)
+        if len(rest) != bsize - 12 - xlen:
+            raise ValueError("truncated BGZF member")
+        return hdr + extra + rest
+
     def _pump(self) -> None:
-        while (len(self._futs) < self._depth
-               and self._next < self._bg.n_blocks):
+        while len(self._futs) < self._depth and not self._eof:
+            blk = self._next_block()
+            if blk is None:
+                break
             self._futs.append(
-                self._ex.submit(self._bg._inflate_one, self._next))
-            self._next += 1
+                (self._ex.submit(zlib.decompress, blk, 31), len(blk)))
 
     def readinto(self, mv) -> int:
         mv = memoryview(mv)
@@ -187,8 +222,9 @@ class BgzfStreamReader:
                 self._pump()
                 if not self._futs:
                     break
-                self._cur = memoryview(self._futs.pop(0).result())
-                self._done_blocks += 1
+                fut, csize = self._futs.pop(0)
+                self._cur = memoryview(fut.result())
+                self._consumed_coff += csize
             n = min(want - got, len(self._cur))
             mv[got:got + n] = self._cur[:n]
             self._cur = self._cur[n:]
@@ -197,23 +233,26 @@ class BgzfStreamReader:
 
     def read(self, n: int = -1) -> bytes:
         if n is None or n < 0:
-            n = int(self._bg.ucum[-1])
+            parts = []
+            buf = bytearray(1 << 22)
+            while True:
+                k = self.readinto(memoryview(buf))
+                if k == 0:
+                    return b"".join(parts)
+                parts.append(bytes(buf[:k]))
         buf = bytearray(n)
         got = self.readinto(memoryview(buf))
         return bytes(buf[:got])
 
     def raw_tell(self) -> int:
-        i = min(self._done_blocks, self._bg.n_blocks - 1)
-        if self._done_blocks >= self._bg.n_blocks:
-            return int(self._bg.coffs[-1] + self._bg.csizes[-1])
-        return int(self._bg.coffs[i])
+        return self._consumed_coff
 
     def close(self) -> None:
         if not self._closed:
             self._closed = True
             self._futs.clear()
             self._ex.shutdown(wait=False, cancel_futures=True)
-            self._bg._raw.close()
+            self._f.close()
 
     def __enter__(self):
         return self

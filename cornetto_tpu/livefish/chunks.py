@@ -163,6 +163,8 @@ class ChunkDecisionEngine:
             d, best, est, nhits = unpack_fused(np.asarray(res))
         out: List[ChunkDecision] = []
         for i, c in enumerate(chans):
+            if c < 0:
+                continue   # scatter-only row (device engine duplicates)
             if self._read_id[c] != rids[i] or self._done[c]:
                 continue   # read gone or already decided by an older batch
             mapped = int(nhits[i]) >= self.policy.min_hits
@@ -262,6 +264,19 @@ class DeviceChunkEngine(ChunkDecisionEngine):
             # time would be stale if the same channel contributed two
             # chunks in one call that split across batch boundaries
             pending.append((c, int(self._blen[c])))
+        # One decision per channel per call, at its FINAL accumulated
+        # prefix — matching the host engine, whose _submit reads the
+        # accumulated buffer after the whole event loop (duplicate
+        # channels in one call are out of the sequencer's
+        # one-chunk-per-tick model but must not diverge): non-final
+        # duplicate entries keep their SCATTER but decide the pad row,
+        # and _resolve skips them (channel -1).  The final entry sits in
+        # the last batch, so every earlier scatter has landed by then.
+        last = {}
+        for i, (c, _ln) in enumerate(pending):
+            last[c] = i
+        pending = [(c if last[c] == i else -1, ln)
+                   for i, (c, ln) in enumerate(pending)]
         for i in range(0, len(pending), self.batch):
             self._submit_staged(pending[i:i + self.batch],
                                 stage[i:i + self.batch])
@@ -280,7 +295,7 @@ class DeviceChunkEngine(ChunkDecisionEngine):
 
     def _submit_staged(self, pend: List[tuple], stage: List[tuple]) -> None:
         B = self.batch
-        chans = [c for c, _ in pend]
+        chans = [c for c, _ in pend]     # -1 = scatter-only (see process)
         rows = np.zeros((B, self.chunk_len), dtype=np.uint8)
         sc = np.full(B, self._pad_chan, dtype=np.int32)
         slots = np.zeros(B, dtype=np.int32)
@@ -290,15 +305,17 @@ class DeviceChunkEngine(ChunkDecisionEngine):
             rows[i, :len(codes)] = codes
             sc[i] = c
             slots[i] = slot
-        dc[:len(chans)] = chans
+        dc[:len(chans)] = [c if c >= 0 else self._pad_chan for c in chans]
         lengths[:len(chans)] = [ln for _, ln in pend]
         packed = (rows[:, 0::4] | (rows[:, 1::4] << 2)
                   | (rows[:, 2::4] << 4) | (rows[:, 3::4] << 6))
         self._dev_buf, fused = self.engine.decide_chunk_tick(
             self._dev_buf, packed, sc, slots, dc, lengths)
         self._inflight.append((list(chans), fused,
-                               self._chunks[chans].copy(),
-                               [self._read_id[c] for c in chans]))
+                               np.array([self._chunks[c] if c >= 0 else 0
+                                         for c in chans]),
+                               [self._read_id[c] if c >= 0 else ""
+                                for c in chans]))
 
 
 # ---------------------------------------------------------------------------

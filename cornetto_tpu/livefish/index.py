@@ -146,8 +146,15 @@ def build_index(contigs, n_shards: int = 1,
     c = np.concatenate(all_c) if all_c else np.empty(0, np.int32)
     p = np.concatenate(all_p) if all_p else np.empty(0, np.int32)
     del all_h, all_c, all_p
+    # sort-phase peak discipline (the build's RSS peak at 3 Gbp): int32
+    # order indices (half the int64 argsort output) and one array
+    # re-ordered at a time so the old buffer frees before the next copy
     order = np.argsort(h, kind="stable")
-    h, c, p = h[order], c[order], p[order]
+    if len(h) < (1 << 31):
+        order = order.astype(np.int32)
+    h = h[order]
+    c = c[order]
+    p = p[order]
     del order
     log2e = int(n_shards).bit_length() - 1
     if lib is not None and len(h):

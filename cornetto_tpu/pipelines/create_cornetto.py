@@ -105,12 +105,34 @@ def run(fasta_path: str, out_dir: str = ".", tmp_dir: str = None,
                             low_cov_thresh=0.4, low_mq_cov_thresh=0.4,
                             backend=backend, low_mem=low_mem,
                             ranged_bedgraph=ranged_bedgraph)
-    step1 = list(iter_fun_windows(bgtotal, bgmq20, opt))
-    _write(os.path.join(tmp, "1_tmp.bed"), step1)
+    # Stream the raw windows to 1_tmp.bed while PRE-MERGING per contig
+    # (identical `gap <= 1000` rule as algebra.merge): at 3 Gbp the raw
+    # violating-window list is ~42M rows — holding it as Python tuples
+    # cost ~7 GB and dominated create-panel's --low-mem peak (round-5
+    # SCALE_3GBP breakdown).  iter_fun_windows yields each contig's
+    # windows in ascending-start order, so per-contig online merging
+    # followed by the global sort+merge of the (tiny) pre-merged list is
+    # EXACTLY merge(gnu_sort_bed(raw), 1000): sorting groups contigs
+    # contiguously, pre-merged gaps within a contig exceed 1000 by
+    # construction, and merge never combines across contigs.
+    step1_pre: List[Row] = []
+    with open(os.path.join(tmp, "1_tmp.bed"), "w") as f1:
+        cur = None
+        for c, s, e in iter_fun_windows(bgtotal, bgmq20, opt):
+            f1.write("%s\t%d\t%d\n" % (c, s, e))
+            if cur is not None and c == cur[0] and s <= cur[2] + 1000:
+                if e > cur[2]:
+                    cur[2] = e
+            else:
+                if cur is not None:
+                    step1_pre.append((cur[0], cur[1], cur[2]))
+                cur = [c, s, e]
+        if cur is not None:
+            step1_pre.append((cur[0], cur[1], cur[2]))
     _mark("fun-windows")
 
     #2# merge within 1000 bp
-    step2 = algebra.merge(algebra.gnu_sort_bed(step1), 1000)
+    step2 = algebra.merge(algebra.gnu_sort_bed(step1_pre), 1000)
     _write(os.path.join(tmp, "2_tmp.bed"), step2)
 
     #3# drop merged intervals < 30 kb

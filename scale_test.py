@@ -340,9 +340,21 @@ def main():
         wall, rss, _ = _run_footer(
             cli + ["livefish", "index", "asm.fasta", "-o", "asm.lfidx",
                    "-p", "asm.boringbits.bed"], env=env)
-        log("livefish index %.1fs peakRSS %s GB" % (wall, rss))
-        results["stages"]["livefish_index"] = {"wall_s": round(wall, 1),
-                                               "peak_rss_gb": rss}
+        # size of the on-device lookup table: read just the btable .npy
+        # header out of the checkpoint (round-4 verdict item 4 tracks
+        # table bytes <= 4.5 GB at 3 Gbp)
+        import zipfile
+        import numpy.lib.format as _nf
+        with zipfile.ZipFile("asm.lfidx.npz") as zf, \
+                zf.open("btable.npy") as f:
+            shape, _fortran, dtype = _nf._read_array_header(
+                f, _nf.read_magic(f))
+        table_gb = float(np.prod(shape) * dtype.itemsize / 1e9)
+        log("livefish index %.1fs peakRSS %s GB (device table %.2f GB)"
+            % (wall, rss, table_gb))
+        results["stages"]["livefish_index"] = {
+            "wall_s": round(wall, 1), "peak_rss_gb": rss,
+            "device_table_gb": round(table_gb, 2)}
         flush_json()
     if args.json:
         log("results -> %s" % args.json)

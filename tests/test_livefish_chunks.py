@@ -230,6 +230,31 @@ def test_device_chunk_engine_matches_host_engine(setup):
     assert len(decs["DeviceChunkEngine"]) >= 25
 
 
+def test_device_two_chunks_one_call_across_batches(setup):
+    """Round-3 advisor finding (chunks.py): one channel contributing TWO
+    chunks in a single process() call, with batch=1 forcing them into
+    separate device batches, must decide identically to the host-state
+    engine — the pending tuples carry POST-WRITE lengths, so batch 0's
+    decision cannot see batch 1's scattered bytes."""
+    genome, _, eng = setup
+    s = genome["ctgA"][45000:45800]      # fun region, maps
+    pol = ChunkPolicy(max_chunks=4)
+    outs = {}
+    for cls in (ChunkDecisionEngine, DeviceChunkEngine):
+        ce = cls(eng, n_channels=4, chunk_len=200, policy=pol, batch=1)
+        ds = ce.process([ChunkEvent(2, "rA", s[:200]),
+                         ChunkEvent(2, "rA", s[200:400]),
+                         ChunkEvent(3, "rB", s[400:600])])
+        ds += ce.drain()
+        outs[cls.__name__] = sorted(
+            (d.read_id, d.action, d.n_chunks, d.contig, d.pos, d.nhits)
+            for d in ds)
+    assert outs["DeviceChunkEngine"] == outs["ChunkDecisionEngine"]
+    # both chunks really were decided (n_chunks reaches 2 on channel 2)
+    assert any(t[0] == "rA" and t[2] == 2
+               for t in outs["DeviceChunkEngine"])
+
+
 def test_device_chunk_engine_replay_and_reset(setup):
     """Replay harness runs unchanged over DeviceChunkEngine; channel
     recycling (stale device slots masked by lengths) keeps rejections
