@@ -129,23 +129,38 @@ def build_index(contigs, n_shards: int = 1,
     extract = minimizers_native if lib is not None else minimizers_np
     names = []
     lens_list = []
-    all_h = []
-    all_c = []
-    all_p = []
+    # grow-in-place accumulators: per-contig list + one concatenate held
+    # BOTH copies of the 3.6 GB (h, c, p) triple at 3 Gbp — the round-5
+    # phase profile put the build's whole-genome RSS peak in this stage
+    # stack-up (extract 3.7 -> concat 6.9 -> argsort 10.0 GB)
+    cap = 1 << 20
+    n_total = 0
+    h = np.empty(cap, np.uint32)
+    c = np.empty(cap, np.int32)
+    p = np.empty(cap, np.int32)
     for ci, (name, seq) in enumerate(items):
         names.append(name)
         lens_list.append(len(seq))
-        pos, h = extract(encode_seq(seq), k=k, w=w)
-        all_h.append(h)
-        all_c.append(np.full(len(h), ci, dtype=np.int32))
-        all_p.append(pos)
-        del seq
+        pos, hh = extract(encode_seq(seq), k=k, w=w)
+        need = n_total + len(hh)
+        if need > cap:
+            cap = max(need, cap + (cap >> 1))
+
+            def _grow(a):
+                g = np.empty(cap, a.dtype)
+                g[:n_total] = a[:n_total]
+                return g
+            h, c, p = _grow(h), _grow(c), _grow(p)
+        h[n_total:need] = hh
+        c[n_total:need] = ci
+        p[n_total:need] = pos
+        n_total = need
+        del seq, pos, hh
     assert len(names) < 0xFFFF, "contig ids are uint16 in the device table"
     lens = np.array(lens_list, dtype=np.int64)
-    h = np.concatenate(all_h) if all_h else np.empty(0, np.uint32)
-    c = np.concatenate(all_c) if all_c else np.empty(0, np.int32)
-    p = np.concatenate(all_p) if all_p else np.empty(0, np.int32)
-    del all_h, all_c, all_p
+    h = h[:n_total]
+    c = c[:n_total]
+    p = p[:n_total]
     # sort-phase peak discipline (the build's RSS peak at 3 Gbp): int32
     # order indices (half the int64 argsort output) and one array
     # re-ordered at a time so the old buffer frees before the next copy
