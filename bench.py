@@ -247,7 +247,11 @@ def main() -> int:
         here = os.path.dirname(os.path.abspath(__file__))
         with open(os.path.join(here, "BENCH_HEADLINE.json"), "w") as f:
             json.dump(result, f, indent=1)
-    except OSError:
+        # resync the generated README/ROADMAP blocks so a driver-run
+        # bench can never leave prose drifted from its own artifact
+        import gen_perf_table
+        gen_perf_table.main()
+    except Exception:
         pass
     return 0
 
