@@ -86,18 +86,39 @@ def main() -> int:
     rng = np.random.default_rng(0)
     results = {}
 
-    # measured memcpy-style roofline for this chip/backend: a+1 reads
-    # N*4 and writes N*4 bytes, chained-timed so the tunnel's
-    # per-dispatch cost is subtracted (the round-4 probe used plain
-    # timeit — dispatch latency deflated the roofline ~2x, which is how
-    # two kernels "exceeded" it; VERDICT r04 weak #6)
+    # measured memcpy-style roofline for this chip/backend: x+1 iterated
+    # in a fori_loop whose CARRY is the full array, so every iteration
+    # must materialize N*4 read + N*4 write (the round-4 probe used
+    # plain timeit — dispatch latency deflated it ~2x; a chained_time
+    # probe of a bare a+1 went the other way — only 2 output elements
+    # feed its dependency, XLA dead-code-eliminated the array and
+    # "measured" 1.6 TB/s on an ~819 GB/s part).  Slope of two trip
+    # counts of the same compiled program cancels dispatch cost.
     N = 1 << 26
     x32 = jnp.asarray(rng.integers(0, 65536, N).astype(np.int32))
-    dt = chained_time(lambda a: a + 1, x32, 0xFFFF, n1=5, n2=25)
+
+    def _roof(a, n):
+        return jax.lax.fori_loop(0, n, lambda i, x: x + 1, a)
+
+    rj = jax.jit(_roof)
+
+    def _sync1(r):
+        # one-element readback: np.asarray of the UNSLICED carry would
+        # pull all 268 MB back through the ~45 MB/s tunnel and drown
+        # the slope in readback variance (measured "6 GB/s")
+        np.asarray(r.ravel()[:1])
+    _sync1(rj(x32, 2))
+    t0 = time.perf_counter()
+    _sync1(rj(x32, 10))
+    t1 = time.perf_counter()
+    _sync1(rj(x32, 60))
+    t2 = time.perf_counter()
+    dt = ((t2 - t1) - (t1 - t0)) / 50
     roofline = N * 4 * 2 / dt / 1e9
     results["elementwise_roofline_GBps"] = round(roofline, 1)
-    results["roofline_model"] = ("a+1 over 2^26 int32, 8 B/elem "
-                                 "(read+write), chained-timed")
+    results["roofline_model"] = ("x+1 fori_loop with full-array carry "
+                                 "over 2^26 int32, 8 B/elem "
+                                 "(read+write), trip-count slope")
 
     # Every pct_of_roofline below uses an ALGORITHMIC-MINIMUM bytes
     # model (inputs read once + outputs written once, stated per entry):
