@@ -148,17 +148,22 @@ def main() -> int:
             "pct_of_roofline": round(100 * (mb / dt / 1e9) / roofline, 1),
         }
 
+    # sub-ms kernels need long trip counts: at ~0.15 ms/iter the default
+    # 20/120 span is ~15 ms, the same order as the tunnel's per-dispatch
+    # RPC jitter — observed 56-146 Gb/s across runs for the SAME kernel.
+    # 200/1200 puts ~150 ms of signal under the slope.
     scan_model = "in 1 B/base + per-read stats out (~0)"
-    dt = chained_time(lambda a: telo_run_stats_jax(a, motif)[0], cj, 3)
+    dt = chained_time(lambda a: telo_run_stats_jax(a, motif)[0], cj, 3,
+                      n1=200, n2=1200)
     results["telo_scan_xla"] = _telo_entry(dt, 0, scan_model)
     dtp = chained_time(
         lambda a: telo_run_stats_pallas(a, motif, interpret=not on_tpu)[0],
-        cj, 3)
+        cj, 3, n1=200, n2=1200)
     results["telo_scan_pallas"] = dict(_telo_entry(dtp, 0, scan_model),
                                        speedup_vs_xla=round(dt / dtp, 2))
     dtm = chained_time(
         lambda a: telo_match_mask_pallas(a, motif, interpret=not on_tpu),
-        cj, 3)
+        cj, 3, n1=200, n2=1200)
     results["telo_mask_pallas"] = _telo_entry(
         dtm, 1, "in 1 B/base + mask out 1 B/base")
 
