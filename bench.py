@@ -159,13 +159,19 @@ def main() -> int:
         dq: "queue.Queue" = queue.Queue(maxsize=4)
         DONE = object()
         acc = []
+        err = []
 
         def drain():
             while True:
                 item = dq.get()
                 if item is DONE:
                     return
-                acc.append(np.asarray(item))   # full (2, B) readback
+                if err:
+                    continue      # keep consuming so the producer unblocks
+                try:
+                    acc.append(np.asarray(item))   # full (2, B) readback
+                except BaseException as e:
+                    err.append(e)
 
         th = threading.Thread(target=drain, daemon=True)
         th.start()
@@ -174,6 +180,8 @@ def main() -> int:
             dq.put(eng.decide_packed_fused(packed, None, read_len))
         dq.put(DONE)
         th.join()
+        if err:
+            raise err[0]
         return time.perf_counter() - t0
 
     run_pipelined(3)   # steady state
