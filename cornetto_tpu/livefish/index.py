@@ -161,16 +161,34 @@ def build_index(contigs, n_shards: int = 1,
     h = h[:n_total]
     c = c[:n_total]
     p = p[:n_total]
-    # sort-phase peak discipline (the build's RSS peak at 3 Gbp): int32
-    # order indices (half the int64 argsort output) and one array
-    # re-ordered at a time so the old buffer frees before the next copy
-    order = np.argsort(h, kind="stable")
-    if len(h) < (1 << 31):
-        order = order.astype(np.int32)
-    h = h[order]
-    c = c[order]
-    p = p[order]
-    del order
+    if lib is not None and len(h):
+        # threaded stable LSD radix by hash (native/minimizer_native.c):
+        # np.argsort cost ~100 s + an int64 index array at 3 Gbp; four
+        # memory-bound 8-bit passes with payloads take seconds and the
+        # ping-pong buffers stay under the btable-phase peak
+        import ctypes as _ct
+        h2 = np.empty_like(h)
+        c2 = np.empty_like(c)
+        p2 = np.empty_like(p)
+        pv = _ct.c_void_p
+        lib.mz_radix_sort(pv(h.ctypes.data), pv(c.ctypes.data),
+                          pv(p.ctypes.data), _ct.c_int64(len(h)),
+                          pv(h2.ctypes.data), pv(c2.ctypes.data),
+                          pv(p2.ctypes.data),
+                          _ct.c_int(min(__import__("os").cpu_count() or 1,
+                                        16)))
+        del h2, c2, p2
+    else:
+        # NumPy twin: stable argsort = the same permutation (sort-phase
+        # peak discipline: int32 order indices, one array re-ordered at
+        # a time so the old buffer frees before the next copy)
+        order = np.argsort(h, kind="stable")
+        if len(h) < (1 << 31):
+            order = order.astype(np.int32)
+        h = h[order]
+        c = c[order]
+        p = p[order]
+        del order
     log2e = int(n_shards).bit_length() - 1
     if lib is not None and len(h):
         # in-place C dedup (write index never exceeds read index)

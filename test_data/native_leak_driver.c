@@ -43,6 +43,8 @@ void mz_extract(const uint8_t *, int64_t, int, int, int, uint32_t *,
 int64_t mz_dedup(const uint32_t *, const int32_t *, const int32_t *,
                  int64_t, int64_t, uint32_t *, int32_t *, int32_t *);
 void mz_bucket_hist(const uint32_t *, int64_t, int, int, int32_t *);
+void mz_radix_sort(uint32_t *, int32_t *, int32_t *, int64_t,
+                   uint32_t *, int32_t *, int32_t *, int);
 int64_t mz_bucket_count2(const uint32_t *, int64_t, int, int, int,
                          uint8_t *);
 int64_t mz_bucket_fill2(const uint32_t *, const int32_t *, const int32_t *,
@@ -219,7 +221,9 @@ static int drive_minimizer(void)
         if (h[i] != 0xFFFFFFFFu) {
             h[n] = h[i]; pos[n] = pos[i]; c[n] = 0; ++n;
         }
-    /* stable sort by hash: pack (hash, index) into uint64 keys */
+    /* stable sort by hash twice over: the oracle packs (hash, index)
+     * into uint64 keys for qsort; the production path is the threaded
+     * radix sort, which must agree element-for-element */
     uint64_t *key = malloc(n * sizeof(uint64_t));
     for (i = 0; i < n; ++i)
         key[i] = ((uint64_t)h[i] << 32) | (uint64_t)i;
@@ -232,6 +236,21 @@ static int drive_minimizer(void)
         h2[i] = h[src]; c2[i] = c[src]; p2[i] = pos[src];
     }
     free(key);
+    {
+        uint32_t *hr = malloc(n * sizeof(uint32_t));
+        int32_t *cr = malloc(n * sizeof(int32_t));
+        int32_t *pr = malloc(n * sizeof(int32_t));
+        uint32_t *ht = malloc(n * sizeof(uint32_t));
+        int32_t *ct = malloc(n * sizeof(int32_t));
+        int32_t *pt = malloc(n * sizeof(int32_t));
+        memcpy(hr, h, n * sizeof(uint32_t));
+        memcpy(cr, c, n * sizeof(int32_t));
+        memcpy(pr, pos, n * sizeof(int32_t));
+        mz_radix_sort(hr, cr, pr, n, ht, ct, pt, 2);
+        for (i = 0; i < n; ++i)
+            CHECK(hr[i] == h2[i] && cr[i] == c2[i] && pr[i] == p2[i]);
+        free(hr); free(cr); free(pr); free(ht); free(ct); free(pt);
+    }
     int64_t m = mz_dedup(h2, c2, p2, n, 256, h2, c2, p2);
     CHECK(m > 0 && m <= n);
     int B = 18;
