@@ -1,19 +1,19 @@
 """Pallas telomere-motif scan kernels + the telofind device path.
 
-THE HONEST ROUND-2 FINDING (VERDICT item 5): the round-1 "3.2% of
-roofline" for the XLA telo kernel was a measurement artifact — through the
-axon tunnel one dispatched program costs ~25 ms wall regardless of
-content, so the old per-dispatch harness timed the tunnel, not the kernel.
-Measured device-resident with a loop-carried dependency
-(bench_kernels.chained_time), the plain-XLA telo_run_stats_jax fuses the
-whole compare+doubling chain and hits ~131 Gbases/s (262 GB/s at the
-2-bytes/base model = 132% of the measured memcpy roofline — XLA's fusion
-keeps intermediates on-chip).  The Pallas stats kernel here reaches 35% of
-roofline (Mosaic serializes the doubling less efficiently than XLA's
-fusion); the match-mask kernel ties XLA (74 vs 72 Gbases/s).  TPU-first
-means letting XLA fuse this one: the XLA kernels stay the production
-path, and these Pallas twins are kept as the VMEM-explicit variants plus
-the chunked long-sequence mask machinery for tools/telofind.py.
+MEASUREMENT HISTORY (kept because each round's number taught something):
+round 1's "3.2% of roofline" timed the tunnel's ~25 ms per-dispatch cost,
+not the kernel; round 2's chained_time fix measured the XLA kernel at
+~131 Gbases/s and called it "132% of roofline" — which round 5 exposed
+as a second artifact, this time in the ROOFLINE probe (plain-timeit ate
+dispatch latency and deflated it ~3x).  Current honest numbers
+(BENCH_KERNELS.json): XLA telo_run_stats_jax ~103 Gbases/s = ~16% of
+the 629 GB/s memcpy roofline on its 1 B/base minimum-IO model; the
+Pallas stats twin here is ~3x slower (Mosaic serializes the doubling
+less efficiently than XLA's fusion); the match-mask Pallas kernel runs
+within ~2x of XLA.  TPU-first means letting XLA fuse this one: the XLA
+kernels stay the production path, and these Pallas twins are kept as
+the VMEM-explicit variants plus the chunked long-sequence mask
+machinery for tools/telofind.py.
 
 - telo_match_mask_pallas / telo_match_mask_long: match[i] = AND_j
   codes[i+j]==motif[j] — the exact occurrence set of tools/telofind.py

@@ -6,12 +6,14 @@ single elementwise kernel.  Used by the livefish path to tag telomeric
 reads on device; the host tool path (tools/telofind.py) uses the memchr
 scan which is already IO-bound.
 
-Speed-of-light: the kernel reads each base once (1 byte) and writes one
-mask byte -> 2 bytes/base; measured device-resident (chained_time) at
-~131 Gbases/s on v5e = 132% of the memcpy roofline — XLA's elementwise
-fusion keeps every doubling pass on-chip, so this IS the production path
-(kernels.pallas_telo holds the VMEM-explicit twins and the long-sequence
-telofind machinery; see its docstring for the measurement story).
+Speed-of-light: on the 1 B/base minimum-IO model the scan measures
+~103 Gbases/s device-resident = ~16% of the properly-measured 629 GB/s
+memcpy roofline (BENCH_KERNELS.json telo_scan_xla; the round-4 "132% of
+roofline" figure was an artifact of a dispatch-deflated roofline probe
+and is retired).  The gap is the ~log2(m/k) int32 doubling passes of
+the run-length phase; it is still the production path — faster than the
+Pallas twins (kernels.pallas_telo) and far beyond what the IO-bound
+host tools can feed.
 """
 
 import numpy as np
